@@ -1,0 +1,282 @@
+"""Pure-numpy image codecs + perceptual hash (SURVEY.md §7.2, §2 M1/M2/M11).
+
+The reference delegates decode/encode to PIL (``Image.open`` /
+``save`` calls in gdal_tiler.py / tiles_merge.py / tiles_convert.py
+[C]); PIL is absent in this sandbox, so the synthetic corpus uses three
+codecs we implement exactly:
+
+  raw — magic + header + uncompressed RGB(A) bytes
+  png — a real, minimal PNG (8-bit RGB/RGBA, zlib IDAT, filter 0 on
+        encode; filters 0–4 supported on decode) — stands in for the
+        lossless path
+  dct — our own 8×8 DCT + uniform quantization + zlib — *lossy*, so
+        the PSNR ≥ 40 dB gate (BASELINE.json:15) is exercised honestly;
+        stands in for JPEG/WebP
+
+All decoders return H×W×4 uint8 RGBA. All functions are deterministic.
+Decoder state (DCT basis matrices) is module-level and cheap — actor
+pools (T1) reuse it per process.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# DCT basis
+# ---------------------------------------------------------------------------
+
+
+def _dct_matrix(n):
+    """Orthonormal DCT-II matrix: M @ x applies the transform."""
+    k = np.arange(n)[:, None].astype(np.float64)
+    i = np.arange(n)[None, :].astype(np.float64)
+    m = np.cos(np.pi * (2 * i + 1) * k / (2 * n)) * np.sqrt(2.0 / n)
+    m[0] /= np.sqrt(2.0)
+    return m
+
+
+_DCT8 = _dct_matrix(8)
+_DCT32 = _dct_matrix(32)
+
+# ---------------------------------------------------------------------------
+# raw codec
+# ---------------------------------------------------------------------------
+
+_RAW_MAGIC = b"RAW1"
+_DCT_MAGIC = b"DCT1"
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_raw(rgba):
+    rgba = np.ascontiguousarray(rgba, dtype=np.uint8)
+    h, w, c = rgba.shape
+    return _RAW_MAGIC + struct.pack("<IIB", w, h, c) + rgba.tobytes()
+
+
+def decode_raw(data):
+    assert data[:4] == _RAW_MAGIC, "not a RAW1 payload"
+    w, h, c = struct.unpack("<IIB", data[4:13])
+    px = np.frombuffer(data, dtype=np.uint8, offset=13).reshape(h, w, c)
+    return _ensure_rgba(px)
+
+
+def _ensure_rgba(px):
+    if px.shape[2] == 4:
+        return px
+    out = np.empty((px.shape[0], px.shape[1], 4), dtype=np.uint8)
+    out[:, :, :3] = px[:, :, :3]
+    out[:, :, 3] = 255
+    return out
+
+
+# ---------------------------------------------------------------------------
+# png codec (minimal but real PNG)
+# ---------------------------------------------------------------------------
+
+
+def _png_chunk(tag, payload):
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(rgba, level=6):
+    """RGBA (or RGB) uint8 → minimal PNG bytes, filter 0 per scanline."""
+    px = np.ascontiguousarray(rgba, dtype=np.uint8)
+    h, w, c = px.shape
+    colortype = 6 if c == 4 else 2
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, colortype, 0, 0, 0)
+    # prepend filter byte 0 to each scanline
+    lines = np.zeros((h, 1 + w * c), dtype=np.uint8)
+    lines[:, 1:] = px.reshape(h, w * c)
+    idat = zlib.compress(lines.tobytes(), level)
+    return (
+        _PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", idat)
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data):
+    """Minimal PNG decoder: 8-bit RGB/RGBA, filters 0–4. Returns RGBA."""
+    assert data[:8] == _PNG_MAGIC, "not a PNG payload"
+    pos = 8
+    w = h = colortype = None
+    idat = []
+    n = len(data)
+    while pos < n:
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            w, h, depth, colortype, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", payload
+            )
+            if depth != 8 or colortype not in (2, 6) or interlace != 0:
+                raise ValueError("unsupported PNG variant")
+        elif tag == b"IDAT":
+            idat.append(payload)
+        elif tag == b"IEND":
+            break
+    bpp = 4 if colortype == 6 else 3
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    stride = 1 + w * bpp
+    raw = raw.reshape(h, stride)
+    filters = raw[:, 0]
+    out = np.zeros((h, w * bpp), dtype=np.uint8)
+    if not filters.any():
+        out[:] = raw[:, 1:]
+    else:
+        prev = np.zeros(w * bpp, dtype=np.uint8)
+        for r in range(h):
+            f = int(filters[r])
+            line = raw[r, 1:].astype(np.int64)
+            if f == 0:
+                rec = line
+            elif f == 1:  # Sub — per-channel cumulative sum mod 256
+                chan = line.reshape(w, bpp)
+                rec = np.cumsum(chan, axis=0).reshape(-1) % 256
+            elif f == 2:  # Up
+                rec = (line + prev) % 256
+            elif f == 3:  # Average — sequential in x
+                rec = np.zeros(w * bpp, dtype=np.int64)
+                for x in range(w * bpp):
+                    left = rec[x - bpp] if x >= bpp else 0
+                    rec[x] = (line[x] + (left + int(prev[x])) // 2) % 256
+            elif f == 4:  # Paeth — sequential in x
+                rec = np.zeros(w * bpp, dtype=np.int64)
+                for x in range(w * bpp):
+                    a = rec[x - bpp] if x >= bpp else 0
+                    b = int(prev[x])
+                    cc = int(prev[x - bpp]) if x >= bpp else 0
+                    p = a + b - cc
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+                    rec[x] = (line[x] + pred) % 256
+            else:
+                raise ValueError(f"bad PNG filter {f}")
+            out[r] = rec.astype(np.uint8)
+            prev = out[r]
+    return _ensure_rgba(out.reshape(h, w, bpp))
+
+
+# ---------------------------------------------------------------------------
+# dct codec (lossy JPEG/WebP stand-in)
+# ---------------------------------------------------------------------------
+
+
+def _blockify(f32):
+    """H×W float (H,W multiples of 8) → (H//8, W//8, 8, 8) blocks."""
+    h, w = f32.shape
+    return f32.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3)
+
+
+def _unblockify(blocks):
+    nh, nw = blocks.shape[:2]
+    return blocks.transpose(0, 2, 1, 3).reshape(nh * 8, nw * 8)
+
+
+def encode_dct(rgba, q=6, level=6):
+    """RGB(A) uint8 → lossy DCT payload (alpha is dropped; decode
+    re-synthesizes alpha=255). Uniform quantizer step ``q`` ⇒
+    PSNR ≈ 10·log10(255²·12/q²) ≈ 43 dB at q=6."""
+    px = np.asarray(rgba, dtype=np.uint8)
+    h, w = px.shape[:2]
+    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    coeffs = []
+    for ch in range(3):
+        plane = px[:, :, ch].astype(np.float64) - 128.0
+        if (ph, pw) != (h, w):
+            plane = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
+        blocks = _blockify(plane)
+        c = np.einsum("ij,abjk,lk->abil", _DCT8, blocks, _DCT8)
+        coeffs.append(np.round(c / q).astype(np.int16))
+    payload = zlib.compress(np.stack(coeffs).tobytes(), level)
+    return _DCT_MAGIC + struct.pack("<IIB", w, h, q) + payload
+
+
+def decode_dct(data):
+    assert data[:4] == _DCT_MAGIC, "not a DCT1 payload"
+    w, h, q = struct.unpack("<IIB", data[4:13])
+    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    qc = np.frombuffer(zlib.decompress(data[13:]), dtype=np.int16).reshape(
+        3, ph // 8, pw // 8, 8, 8
+    )
+    out = np.empty((h, w, 4), dtype=np.uint8)
+    for ch in range(3):
+        c = qc[ch].astype(np.float64) * q
+        blocks = np.einsum("ji,abjk,kl->abil", _DCT8, c, _DCT8)
+        plane = _unblockify(blocks)[:h, :w] + 128.0
+        out[:, :, ch] = np.clip(np.round(plane), 0, 255).astype(np.uint8)
+    out[:, :, 3] = 255
+    return out
+
+
+# ---------------------------------------------------------------------------
+# dispatch
+# ---------------------------------------------------------------------------
+
+ENCODERS = {"raw": encode_raw, "png": encode_png, "dct": encode_dct}
+FORMATS = tuple(ENCODERS)
+
+
+def encode_image(rgba, fmt):
+    return ENCODERS[fmt](rgba)
+
+
+def decode_image(data, fmt=None):
+    """Decode by fmt tag, or sniff by magic when fmt is None."""
+    if fmt == "raw" or data[:4] == _RAW_MAGIC:
+        return decode_raw(data)
+    if fmt == "dct" or data[:4] == _DCT_MAGIC:
+        return decode_dct(data)
+    if fmt == "png" or data[:8] == _PNG_MAGIC:
+        return decode_png(data)
+    raise ValueError(f"cannot sniff image format (fmt={fmt!r})")
+
+
+# ---------------------------------------------------------------------------
+# perceptual hash (graft M11 — phash column of BASELINE.json:15)
+# ---------------------------------------------------------------------------
+
+
+def phash64(rgba):
+    """64-bit DCT perceptual hash of an RGBA image.
+
+    gray → 32×32 box-downsample → 32×32 DCT → low-freq 8×8 block →
+    bit i = coeff_i > median. Returns int64 (two's-complement view)."""
+    px = np.asarray(rgba, dtype=np.float64)
+    gray = 0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]
+    h, w = gray.shape
+    ch, cw = h - h % 32, w - w % 32
+    gray = gray[:ch, :cw]
+    bh, bw = ch // 32, cw // 32
+    small = gray.reshape(32, bh, 32, bw).mean(axis=(1, 3))
+    coeff = _DCT32 @ small @ _DCT32.T
+    block = coeff[:8, :8].ravel()
+    bits = block > np.median(block)
+    val = 0
+    for i in np.flatnonzero(bits):
+        val |= 1 << int(i)
+    if val >= 1 << 63:  # two's-complement int64
+        val -= 1 << 64
+    return val
+
+
+def psnr(a, b):
+    """Peak signal-to-noise ratio in dB between two uint8 images."""
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    mse = np.mean((a - b) ** 2)
+    if mse == 0:
+        return float("inf")
+    return 10.0 * np.log10(255.0**2 / mse)
