@@ -1,0 +1,279 @@
+"""Shared raster kernels: warp-cut, composite, 2×2 downsample.
+
+These pixel kernels are the single source of truth for BOTH the
+single-process golden tiler (``golden.py``) and the distributed Ray
+stages (``stages/``): the conformance claim "engine matches golden
+byte-for-byte" is about orchestration (fan-out, shuffle, salting,
+resume), while the per-pixel math lives here once.
+
+Reimplements, from public semantics:
+  - gdal_tiler.py's per-tile warp window: inverse-map each dest tile's
+    256×256 pixel grid through (mercator ← profile) ∘ (world ← source
+    pixel affine), sample the source, alpha-mask by the cutline [C].
+  - tiles_merge.py's paste-with-mask alpha composite [C].
+  - gdal_tiler.py's overview build: parent tile = 2×2 box-downsample of
+    its ≤4 children [C].
+
+WKB polygon encode/decode for the ``cutline_wkb`` column lives here too
+(plain ISO WKB, little-endian, Polygon type 3, single ring).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from . import codecs
+from . import geometry as geo
+from . import tilegrid as tg
+
+TILE = tg.TILE_SIZE
+
+# ---------------------------------------------------------------------------
+# WKB polygon (single exterior ring)
+# ---------------------------------------------------------------------------
+
+
+def wkb_polygon(ring):
+    ring = np.asarray(ring, dtype=np.float64)
+    n = len(ring)
+    closed = np.vstack([ring, ring[:1]])
+    head = struct.pack("<BII", 1, 3, 1) + struct.pack("<I", n + 1)
+    return head + closed.astype("<f8").tobytes()
+
+
+def parse_wkb_polygon(data):
+    byte_order, geom_type, nrings = struct.unpack("<BII", data[:9])
+    assert byte_order == 1 and geom_type == 3 and nrings >= 1
+    (npts,) = struct.unpack("<I", data[9:13])
+    ring = np.frombuffer(data, dtype="<f8", offset=13, count=npts * 2).reshape(
+        npts, 2
+    )
+    return ring[:-1].copy()  # drop closure
+
+
+# ---------------------------------------------------------------------------
+# source georeferencing → mercator
+# ---------------------------------------------------------------------------
+
+_DEG_TO_MERC_X = tg.ORIGIN / 180.0
+
+
+def source_to_merc_corners(gt, w, h, srs):
+    """Source image corner pixels → mercator coords (4×2 array)."""
+    px = np.array([0.0, w, w, 0.0])
+    py = np.array([0.0, 0.0, h, h])
+    wx, wy = geo.apply_gt(np.asarray(gt, dtype=np.float64), px, py)
+    if srs == "EPSG:4326":
+        wx, wy = tg.lonlat_to_merc(wx, wy)
+    return np.stack([wx, wy], axis=1)
+
+
+def footprint_bbox_merc(gt, w, h, srs):
+    c = source_to_merc_corners(gt, w, h, srs)
+    return c[:, 0].min(), c[:, 1].min(), c[:, 0].max(), c[:, 1].max()
+
+
+def base_tiles_for_image(gt, w, h, srs, z):
+    """XYZ tiles at zoom z intersecting the image footprint bbox."""
+    minx, miny, maxx, maxy = footprint_bbox_merc(gt, w, h, srs)
+    return tg.tiles_overlapping_bbox(minx, miny, maxx, maxy, z)
+
+
+# ---------------------------------------------------------------------------
+# warp-cut: one dest tile from one source image
+# ---------------------------------------------------------------------------
+
+
+def cut_fragment(pixels, gt, srs, cutline, z, x, y, resampling="nearest"):
+    """Render source ``pixels`` (H×W×4 RGBA) into dest tile (z, x, y).
+
+    Returns a 256×256×4 uint8 RGBA fragment (alpha 0 where the tile is
+    not covered / outside the cutline), or None when fully transparent.
+
+    ``cutline`` is an (n, 2) ring in SOURCE PIXEL coords or None
+    (full frame). Resampling: 'nearest' (default, matches the
+    reference's default base resampling [C]) or 'bilinear'.
+    """
+    h, w = pixels.shape[:2]
+    gt = np.asarray(gt, dtype=np.float64)
+    # dest pixel centers → mercator
+    gx = x * TILE + np.arange(TILE, dtype=np.float64) + 0.5
+    gy = y * TILE + np.arange(TILE, dtype=np.float64) + 0.5
+    mgx, mgy = np.meshgrid(gx, gy)  # (256, 256), row-major y, x
+    mx, my = tg.pixel_to_merc(mgx, mgy, z)
+    # mercator → source world units
+    if srs == "EPSG:4326":
+        wx, wy = tg.merc_to_lonlat(mx, my)
+    else:
+        wx, wy = mx, my
+    inv = geo.invert_gt(gt)
+    spx, spy = geo.apply_gt(inv, wx, wy)
+    # sample
+    if resampling == "nearest":
+        ix = np.floor(spx).astype(np.int64)
+        iy = np.floor(spy).astype(np.int64)
+        inb = (ix >= 0) & (ix < w) & (iy >= 0) & (iy < h)
+        frag = np.zeros((TILE, TILE, 4), dtype=np.uint8)
+        if inb.any():
+            frag[inb] = pixels[iy[inb], ix[inb]]
+    elif resampling == "bilinear":
+        fx = spx - 0.5
+        fy = spy - 0.5
+        x0 = np.floor(fx).astype(np.int64)
+        y0 = np.floor(fy).astype(np.int64)
+        ax = fx - x0
+        ay = fy - y0
+        inb = (x0 >= -1) & (x0 < w) & (y0 >= -1) & (y0 < h)
+        x0c = np.clip(x0, 0, w - 1)
+        x1c = np.clip(x0 + 1, 0, w - 1)
+        y0c = np.clip(y0, 0, h - 1)
+        y1c = np.clip(y0 + 1, 0, h - 1)
+        p = pixels.astype(np.float64)
+        top = p[y0c, x0c] * (1 - ax)[..., None] + p[y0c, x1c] * ax[..., None]
+        bot = p[y1c, x0c] * (1 - ax)[..., None] + p[y1c, x1c] * ax[..., None]
+        val = top * (1 - ay)[..., None] + bot * ay[..., None]
+        frag = np.zeros((TILE, TILE, 4), dtype=np.uint8)
+        frag[inb] = np.clip(np.round(val[inb]), 0, 255).astype(np.uint8)
+    else:
+        raise ValueError(f"unknown resampling {resampling!r}")
+    # cutline mask in source pixel space, evaluated at sampled positions
+    if cutline is not None:
+        keep = geo.point_in_polygon(spx.ravel(), spy.ravel(), cutline).reshape(
+            TILE, TILE
+        )
+        frag[~keep] = 0
+    if resampling == "nearest":
+        frag[~inb] = 0
+    if not frag[:, :, 3].any():
+        return None
+    return frag
+
+
+# ---------------------------------------------------------------------------
+# composite (alpha-over, tiles_merge paste-with-mask)
+# ---------------------------------------------------------------------------
+
+
+def composite_over(dst, src):
+    """Porter–Duff OVER: paint ``src`` onto ``dst`` (both H×W×4 uint8,
+    straight alpha). In-place on dst; deterministic integer-free float
+    math with final round."""
+    sa = src[:, :, 3].astype(np.float64) / 255.0
+    da = dst[:, :, 3].astype(np.float64) / 255.0
+    oa = sa + da * (1.0 - sa)
+    safe = np.where(oa == 0.0, 1.0, oa)
+    for c in range(3):
+        num = src[:, :, c] * sa + dst[:, :, c] * da * (1.0 - sa)
+        dst[:, :, c] = np.clip(np.round(num / safe), 0, 255).astype(np.uint8)
+    dst[:, :, 3] = np.clip(np.round(oa * 255.0), 0, 255).astype(np.uint8)
+    return dst
+
+
+def composite_fragments(frags):
+    """Composite fragments (list of H×W×4 uint8, ALREADY sorted by
+    ascending z-order) — later entries paint over earlier ones.
+    Matches tiles_merge CLI-order semantics [C]."""
+    out = frags[0].copy()
+    for f in frags[1:]:
+        composite_over(out, f)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# overview downsample (2×2 box)
+# ---------------------------------------------------------------------------
+
+
+def downsample_children(children):
+    """children: dict {(dx, dy) in {0,1}²: 256×256×4 uint8} → parent tile.
+
+    Assembles the 512×512 mosaic (missing quadrants transparent) and
+    box-filters 2×2 → 256×256. Channels averaged independently with
+    round-half-up — the deterministic equivalent of the reference's
+    antialias ×2 shrink for the exact-factor-2 case [C semantics]."""
+    mosaic = np.zeros((2 * TILE, 2 * TILE, 4), dtype=np.uint16)
+    for (dx, dy), px in children.items():
+        mosaic[dy * TILE : (dy + 1) * TILE, dx * TILE : (dx + 1) * TILE] = px
+    s = (
+        mosaic[0::2, 0::2]
+        + mosaic[0::2, 1::2]
+        + mosaic[1::2, 0::2]
+        + mosaic[1::2, 1::2]
+    )
+    return ((s + 2) >> 2).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# fragment emission for one image row (shared by golden + Ray stage)
+# ---------------------------------------------------------------------------
+
+
+def emit_fragments_for_image(
+    pixels, gt, srs, cutline, zooms, resampling="nearest"
+):
+    """Yield (z, x, y, fragment) for every base-zoom tile the image
+    covers. ``zooms`` is the list of BASE zooms to cut at (normally one
+    zoom; overview levels are built by reduction, not re-cut)."""
+    h, w = pixels.shape[:2]
+    for z in zooms:
+        xs, ys = base_tiles_for_image(gt, w, h, srs, z)
+        for x, y in zip(xs.tolist(), ys.tolist()):
+            frag = cut_fragment(pixels, gt, srs, cutline, z, x, y, resampling)
+            if frag is not None:
+                yield z, x, y, frag
+
+
+# ---------------------------------------------------------------------------
+# group-reduce policies (shared by golden.py and the Ray groupby stages
+# so orchestration differences can never change outputs)
+# ---------------------------------------------------------------------------
+
+
+def reduce_base_group(entries):
+    """Composite one tile's fragments → (pixels, caption, src_ids).
+
+    ``entries`` = list of (zorder, image_id, caption, frag_pixels),
+    NOT necessarily sorted — sorted here by (zorder, image_id), the
+    reference's source-priority order (tiles_merge CLI order [C]).
+    Caption policy (graft M10): caption of the max-opaque-coverage
+    contributor, ties broken by smallest image_id. src_ids = composite
+    order (lineage)."""
+    entries = sorted(entries, key=lambda e: (e[0], e[1]))
+    pixels = composite_fragments([e[3] for e in entries])
+    best = max(
+        entries, key=lambda e: (int((e[3][:, :, 3] > 0).sum()), _neg_id(e[1]))
+    )
+    caption = best[2]
+    src_ids = [e[1] for e in entries]
+    return pixels, caption, src_ids
+
+
+def _neg_id(image_id):
+    """Sort helper: max() must prefer the SMALLEST image_id on coverage
+    ties → use a reversed-ordering key (works for fixed-format ids)."""
+    return tuple(-ord(c) for c in image_id)
+
+
+def reduce_parent_group(children):
+    """Overview reduce: children = dict {(dx,dy): (pixels, caption,
+    src_ids)} → (pixels, caption, src_ids) of the parent.
+
+    Caption: child with max opaque pixels, ties by (dy, dx). src_ids:
+    sorted dedup union (lineage)."""
+    pixels = downsample_children({k: v[0] for k, v in children.items()})
+    best_key = max(
+        children,
+        key=lambda k: (int((children[k][0][:, :, 3] > 0).sum()), -k[1], -k[0]),
+    )
+    caption = children[best_key][1]
+    src_ids = sorted({s for v in children.values() for s in v[2]})
+    return pixels, caption, src_ids
+
+
+def tile_checksum(pixels):
+    """Deterministic int64 checksum of tile pixels (lineage records)."""
+    import zlib
+
+    return zlib.crc32(np.ascontiguousarray(pixels).tobytes())
