@@ -1,0 +1,122 @@
+"""End-to-end conformance: Ray engine vs golden tiler (SURVEY.md §5.1#2-3).
+
+Gates (BASELINE.json:6,15): tile-key sets exact, pixels byte-equal
+(both sides share the per-pixel kernels — agreement validates the
+distributed orchestration), captions byte-equal, src_ids (lineage)
+equal. Plus properties: salted ≡ unsalted, resume ≡ single run.
+"""
+
+import os
+import shutil
+
+import numpy as np
+import pytest
+
+from tilers_tools_ray import golden
+from tilers_tools_ray import tilegrid as tg
+from tilers_tools_ray.pipelines import pyramid
+from tilers_tools_ray.state import lineage
+
+Z_MIN = 5
+
+
+@pytest.fixture(scope="module")
+def golden_pyramid(tiny_corpus):
+    imgs = golden.load_images(tiny_corpus["images"])
+    z_base = golden.auto_zoom(imgs)
+    return z_base, golden.tile_pyramid(imgs, z_base=z_base, z_min=Z_MIN)
+
+
+def _tiles_to_dict(df):
+    out = {}
+    for row in df.itertuples(index=False):
+        out[int(row.tile_key)] = (
+            np.frombuffer(row.pixels, dtype=np.uint8).reshape(256, 256, 4),
+            row.caption,
+            list(row.src_ids),
+        )
+    return out
+
+
+def _assert_level_equal(engine, gold, z):
+    ekeys = set(engine)
+    gkeys = {k for k in gold if int(tg.unpack_key(k)[0]) == z}
+    assert ekeys == gkeys, (
+        f"z={z}: tile-key sets differ; engine-only={len(ekeys - gkeys)}, "
+        f"golden-only={len(gkeys - ekeys)}"
+    )
+    for k in sorted(ekeys):
+        ep, ec, es = engine[k]
+        gp, gc, gs = gold[k]
+        assert np.array_equal(ep, gp), f"pixels differ at key {k} (z={z})"
+        assert ec == gc, f"caption differs at key {k}"
+        assert es == gs, f"src_ids differ at key {k}"
+
+
+def test_auto_zoom_matches_golden(ray_session, tiny_corpus, golden_pyramid):
+    z_base, _ = golden_pyramid
+    assert pyramid.auto_zoom(tiny_corpus["images"]) == z_base
+
+
+def test_base_tiles_match_golden(ray_session, tiny_corpus, golden_pyramid):
+    z_base, gold = golden_pyramid
+    ds = pyramid.base_tiles(tiny_corpus["images"], z_base=z_base)
+    engine = _tiles_to_dict(ds.to_pandas())
+    _assert_level_equal(engine, gold, z_base)
+
+
+def test_salted_equals_unsalted(ray_session, tiny_corpus, golden_pyramid):
+    z_base, gold = golden_pyramid
+    # salt EVERY part into 3 zorder ranges — worst case for the merge
+    z_part = pyramid.default_z_part(z_base)
+    census = pyramid.census_parts(tiny_corpus["images"], z_base, z_part)
+    col = "sum(n)" if "sum(n)" in census.columns else "n"
+    plan = {int(p): 3 for p in census["part"]}
+    ds = pyramid.base_tiles(
+        tiny_corpus["images"], z_base=z_base, salt_plan=plan, n_zorder=200
+    )
+    engine = _tiles_to_dict(ds.to_pandas())
+    _assert_level_equal(engine, gold, z_base)
+
+
+def test_overview_matches_golden(ray_session, tiny_corpus, golden_pyramid):
+    z_base, gold = golden_pyramid
+    base = pyramid.base_tiles(tiny_corpus["images"], z_base=z_base)
+    over = pyramid.overview_tiles(base, z_base)
+    engine = _tiles_to_dict(over.to_pandas())
+    _assert_level_equal(engine, gold, z_base - 1)
+
+
+def test_write_pyramid_and_resume(ray_session, tiny_corpus, golden_pyramid, tmp_path):
+    z_base, gold = golden_pyramid
+    out_a = str(tmp_path / "run_a")
+    summary = pyramid.write_pyramid(
+        tiny_corpus["images"], out_a, z_base=z_base, z_min=Z_MIN, salt="auto"
+    )
+    # every golden level present with matching tiles
+    for z in range(z_base, Z_MIN - 1, -1):
+        df = pyramid.read_tiles(out_a, z).to_pandas()
+        _assert_level_equal(_tiles_to_dict(df), gold, z)
+        assert summary[z]["tiles"] == len(df)
+    # --- resume: pre-commit a strict subset of base parts, then run ---
+    out_b = str(tmp_path / "run_b")
+    done = sorted(lineage.done_parts(out_a, z_base))
+    subset = done[: max(1, len(done) // 2)]
+    for part in subset:
+        os.makedirs(lineage.level_dir(out_b, z_base), exist_ok=True)
+        os.makedirs(lineage.lineage_dir(out_b, z_base), exist_ok=True)
+        shutil.copy(
+            lineage.part_parquet_path(out_a, z_base, part),
+            lineage.part_parquet_path(out_b, z_base, part),
+        )
+        shutil.copy(
+            lineage.manifest_path(out_a, z_base, part),
+            lineage.manifest_path(out_b, z_base, part),
+        )
+    pyramid.write_pyramid(
+        tiny_corpus["images"], out_b, z_base=z_base, z_min=Z_MIN, salt=None
+    )
+    for z in range(z_base, Z_MIN - 1, -1):
+        a = pyramid.read_tiles(out_a, z).to_pandas()
+        b = pyramid.read_tiles(out_b, z).to_pandas()
+        _assert_level_equal(_tiles_to_dict(b), _tiles_to_dict(a), z)

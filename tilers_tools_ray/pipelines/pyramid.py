@@ -1,0 +1,357 @@
+"""The flagship pipeline: images table → tile pyramid (SURVEY.md §3.1).
+
+Engine equivalent of ``gdal_tiler.py``, as one streaming Ray Data
+pipeline per level:
+
+  read images (column-pruned)
+   → map_batches(FragmentEmitter actor pool)      fan-out, M1/M4–M7
+   → groupby(part)[.map_groups]                   the ONE shuffle (A1)
+        plain: composite_part_group
+        salted: groupby(part, salt) partials → groupby(part) merge
+   → per-part atomic parquet commit + lineage row (§4.3)
+  then per overview level z-1 … z_min:
+  read level z parquet → add_parent_part → groupby(part) downsample (A2)
+
+Control returns to the driver only between levels (same as the
+reference's overview loop). Resume: committed (level, part) pairs are
+broadcast and pruned at the emitter — replays only incomplete tiles.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .. import tilegrid as tg
+from ..stages import tiling
+from ..state import lineage
+
+FRAG_COLUMNS = [
+    "image_id",
+    "bytes",
+    "w",
+    "h",
+    "fmt",
+    "caption",
+    "gt",
+    "srs",
+    "cutline_wkb",
+    "zorder",
+]
+
+GEOREF_COLUMNS = ["image_id", "w", "h", "gt", "srs", "zorder"]
+
+
+def images_dataset(images_path, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(images_path, columns=columns or FRAG_COLUMNS)
+
+
+def _effective_res(batch: pa.Table) -> pa.Table:
+    gts = batch.column("gt").to_pylist()
+    srs = batch.column("srs").to_pylist()
+    res = np.empty(len(gts))
+    for i, g in enumerate(gts):
+        r = abs(g[1])
+        if srs[i] == "EPSG:4326":
+            r *= tg.ORIGIN / 180.0
+        res[i] = r
+    return pa.table({"res": pa.array(res, pa.float64())})
+
+
+def auto_zoom(images_path):
+    """Job-wide base zoom: finest per-image optimal zoom (distributed
+    min-reduce over the georef columns only — no pixel decode)."""
+    ds = images_dataset(images_path, columns=["gt", "srs"])
+    min_res = ds.map_batches(_effective_res, batch_format="pyarrow").min("res")
+    return int(tg.auto_base_zoom(min_res))
+
+
+def default_z_part(z):
+    """Partition cell zoom: 4 levels above the tiles (≤256 tiles/part)."""
+    return max(z - 4, 0)
+
+
+def census_parts(images_path, z_base, z_part, batch_size=512):
+    """Georef-only census: fragments per part (upper bound — cutline
+    drops are not modeled). Small result → driver. Feeds the salt plan
+    (§4.2) and the skew report."""
+    ds = images_dataset(images_path, columns=["gt", "srs", "w", "h"])
+    parts = ds.map_batches(
+        tiling.TouchedParts(z_base, z_part),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+    agg = parts.groupby("part").sum("n")
+    return agg.to_pandas()  # small: one row per part
+
+
+def make_salt_plan(census_df, threshold=2000, target=1000):
+    """parts whose fragment count exceeds ``threshold`` get
+    ceil(n/target) contiguous-zorder salt ranges."""
+    col = "sum(n)" if "sum(n)" in census_df.columns else "n"
+    hot = census_df[census_df[col] > threshold]
+    return {
+        int(p): int(-(-int(n) // target))
+        for p, n in zip(hot["part"], hot[col])
+    }
+
+
+def fragments_dataset(
+    images_path,
+    z_base,
+    z_part,
+    *,
+    resampling="nearest",
+    salt_plan=None,
+    n_zorder=1,
+    done_parts=None,
+    batch_size=16,
+    concurrency=None,
+):
+    """images → fragment rows (the pre-shuffle fan-out stage)."""
+    import ray
+
+    ds = images_dataset(images_path)
+    if concurrency is None:
+        # autoscaling actor pool; the streaming executor caps it at
+        # available CPUs, leaving headroom for read/reduce stages
+        concurrency = (1, 16)
+    kwargs = {"concurrency": concurrency}
+    salt_ref = ray.put(salt_plan) if salt_plan else None
+    done_ref = ray.put(done_parts) if done_parts else None
+    return ds.map_batches(
+        tiling.FragmentEmitter,
+        fn_constructor_kwargs={
+            "z_base": z_base,
+            "z_part": z_part,
+            "resampling": resampling,
+            "salt_plan": salt_ref,
+            "n_zorder": n_zorder,
+            "done_parts": done_ref,
+        },
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        num_cpus=1,
+        **kwargs,
+    )
+
+
+def base_tiles(
+    images_path,
+    z_base=None,
+    *,
+    z_part=None,
+    resampling="nearest",
+    salt_plan=None,
+    n_zorder=1,
+    batch_size=16,
+    concurrency=None,
+):
+    """Pure (no side effects) base-tile Dataset — tests / entry()."""
+    if z_base is None:
+        z_base = auto_zoom(images_path)
+    if z_part is None:
+        z_part = default_z_part(z_base)
+    frags = fragments_dataset(
+        images_path,
+        z_base,
+        z_part,
+        resampling=resampling,
+        salt_plan=salt_plan,
+        n_zorder=n_zorder,
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+    if salt_plan:
+        partials = frags.groupby(["part", "salt"]).map_groups(
+            tiling.partial_composite_group, batch_format="pyarrow"
+        )
+        return partials.groupby("part").map_groups(
+            tiling.merge_partials_group, batch_format="pyarrow"
+        )
+    return frags.groupby("part").map_groups(
+        tiling.composite_part_group, batch_format="pyarrow"
+    )
+
+
+def overview_tiles(tiles_ds, z_child, *, z_part=None):
+    """One overview step: tiles at z_child → tiles at z_child-1 (pure)."""
+    if z_part is None:
+        z_part = default_z_part(z_child - 1)
+    with_parent = tiles_ds.map_batches(
+        lambda b: tiling.add_parent_part(b, z_part), batch_format="pyarrow"
+    )
+    return with_parent.groupby("part").map_groups(
+        tiling.downsample_part_group, batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# checkpointed job (write_pyramid)
+# ---------------------------------------------------------------------------
+
+
+def _commit_group_fn(out_dir, z, reduce_fn):
+    """Wrap a part-reduce fn into a commit-to-disk fn returning one
+    lineage row. Runs inside the reduce task → per-partition atomic
+    checkpoint (§4.3)."""
+
+    def commit(group: pa.Table) -> pa.Table:
+        t0 = time.monotonic()
+        tiles_tbl = reduce_fn(group)
+        part = int(tiles_tbl.column("part")[0].as_py())
+        checksum_xor = 0
+        for c in tiles_tbl.column("checksum").to_pylist():
+            checksum_xor ^= int(c)
+        src_ids = sorted(
+            {s for lst in tiles_tbl.column("src_ids").to_pylist() for s in lst}
+        )
+        manifest = {
+            "z": z,
+            "part": part,
+            "n_tiles": tiles_tbl.num_rows,
+            "tile_keys": tiles_tbl.column("tile_key").to_pylist(),
+            "input_ids": src_ids,
+            "checksum_xor": checksum_xor,
+            "wall_s": round(time.monotonic() - t0, 4),
+        }
+        lineage.commit_part(out_dir, z, part, tiles_tbl, manifest)
+        return pa.table(
+            {
+                "z": pa.array([z], pa.int32()),
+                "part": pa.array([part], pa.int64()),
+                "n_tiles": pa.array([tiles_tbl.num_rows], pa.int64()),
+                "checksum_xor": pa.array([checksum_xor], pa.int64()),
+            }
+        )
+
+    return commit
+
+
+def _read_level(out_dir, z, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(lineage.level_dir(out_dir, z), columns=columns)
+
+
+def write_pyramid(
+    images_path,
+    out_dir,
+    *,
+    z_base=None,
+    z_min=4,
+    resampling="nearest",
+    salt="auto",
+    salt_threshold=2000,
+    salt_target=1000,
+    batch_size=16,
+    concurrency=None,
+):
+    """Full checkpointed pyramid build. Returns the job summary (A5).
+
+    Resume semantics: committed (level, part) partitions are skipped —
+    fragment emission prunes done parts (an image whose parts are all
+    committed is never decoded), and completed levels short-circuit."""
+    if z_base is None:
+        z_base = auto_zoom(images_path)
+    os.makedirs(out_dir, exist_ok=True)
+    levels = list(range(z_base, z_min - 1, -1))
+    n_zorder = 1
+    for z in levels:
+        if lineage.level_is_complete(out_dir, z):
+            continue
+        z_part = default_z_part(z)
+        done = lineage.done_parts(out_dir, z)
+        if z == z_base:
+            salt_plan = None
+            if salt == "auto" or salt is True:
+                census = census_parts(images_path, z_base, z_part)
+                salt_plan = make_salt_plan(census, salt_threshold, salt_target)
+                n_zorder = int(
+                    pq.read_metadata(images_path).num_rows
+                    if os.path.isfile(images_path)
+                    else images_dataset(images_path, columns=["zorder"]).max("zorder")
+                    + 1
+                )
+            elif isinstance(salt, dict):
+                salt_plan = salt
+            frags = fragments_dataset(
+                images_path,
+                z_base,
+                z_part,
+                resampling=resampling,
+                salt_plan=salt_plan,
+                n_zorder=n_zorder,
+                done_parts=done,
+                batch_size=batch_size,
+                concurrency=concurrency,
+            )
+            if salt_plan:
+                partials = frags.groupby(["part", "salt"]).map_groups(
+                    tiling.partial_composite_group, batch_format="pyarrow"
+                )
+                out = partials.groupby("part").map_groups(
+                    _commit_group_fn(out_dir, z, tiling.merge_partials_group),
+                    batch_format="pyarrow",
+                )
+            else:
+                out = frags.groupby("part").map_groups(
+                    _commit_group_fn(out_dir, z, tiling.composite_part_group),
+                    batch_format="pyarrow",
+                )
+        else:
+            child = _read_level(out_dir, z + 1)
+            if done:
+                import ray
+                import pyarrow.compute as pc
+
+                done_arr = np.array(sorted(done), dtype=np.int64)
+
+                def _prune(batch, _done=done_arr, _zp=z_part):
+                    b = tiling.add_parent_part(batch, _zp)
+                    mask = ~np.isin(b.column("part").to_numpy(), _done)
+                    return b.filter(pa.array(mask))
+
+                with_parent = child.map_batches(_prune, batch_format="pyarrow")
+            else:
+                with_parent = child.map_batches(
+                    lambda b, _zp=z_part: tiling.add_parent_part(b, _zp),
+                    batch_format="pyarrow",
+                )
+            out = with_parent.groupby("part").map_groups(
+                _commit_group_fn(out_dir, z, tiling.downsample_part_group),
+                batch_format="pyarrow",
+            )
+        stats = out.to_pandas()  # tiny: one row per part
+        lineage.mark_level_complete(
+            out_dir,
+            z,
+            {
+                "z": z,
+                "parts": int(len(stats)) + len(done),
+                "tiles": int(stats["n_tiles"].sum()) if len(stats) else 0,
+            },
+        )
+    return lineage.job_summary(out_dir)
+
+
+def read_tiles(out_dir, z=None, columns=None):
+    """Read the written pyramid back as a Dataset (optionally one level)."""
+    import ray.data as rd
+
+    if z is not None:
+        return _read_level(out_dir, z, columns)
+    root = os.path.join(out_dir, "tiles")
+    paths = [
+        os.path.join(root, d, f)
+        for d in sorted(os.listdir(root))
+        for f in sorted(os.listdir(os.path.join(root, d)))
+        if f.endswith(".parquet")
+    ]
+    return rd.read_parquet(paths, columns=columns)
