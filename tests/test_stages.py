@@ -1,0 +1,201 @@
+"""Stage tests: spatial join vs golden/duckdb counts, georef parser
+recovery, tileset merge/convert/export/import roundtrips."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from tilers_tools_ray import golden, raster
+from tilers_tools_ray import tilegrid as tg
+from tilers_tools_ray.pipelines import pyramid, tileset
+from tilers_tools_ray.stages import georef, spatial, tiling
+
+
+@pytest.fixture(scope="module")
+def tables(tiny_corpus):
+    return (
+        pq.read_table(tiny_corpus["images"]),
+        pq.read_table(tiny_corpus["coverage"]),
+    )
+
+
+def test_spatial_join_matches_golden(ray_session, tiny_corpus, tables):
+    images_tbl, coverage_tbl = tables
+    gold = sorted(golden.spatial_join(images_tbl, coverage_tbl, knn_eps=5e4))
+    ds = pyramid.images_dataset(
+        tiny_corpus["images"], columns=["image_id", "w", "h", "gt", "srs"]
+    )
+    out = spatial.spatial_join(ds, coverage_tbl, knn_eps=5e4).to_pandas()
+    engine = sorted(zip(out["image_id"], out["region_id"]))
+    assert engine == gold  # join output rows EXACT (BASELINE.json:14)
+
+
+def test_spatial_join_variants(ray_session, tiny_corpus, tables):
+    images_tbl, coverage_tbl = tables
+    n = images_tbl.num_rows
+    ds = pyramid.images_dataset(
+        tiny_corpus["images"], columns=["image_id", "w", "h", "gt", "srs"]
+    )
+    inner = spatial.spatial_join(ds, coverage_tbl, how="inner").count()
+    left = spatial.spatial_join(ds, coverage_tbl, how="left").count()
+    semi = spatial.spatial_join(ds, coverage_tbl, how="semi").count()
+    anti = spatial.spatial_join(ds, coverage_tbl, how="anti").count()
+    assert left == n
+    assert semi + anti == n
+    assert inner == semi  # centroid join is 1:≤1 (first-match PIP)
+
+
+def test_knn_stage(ray_session, tiny_corpus, tables):
+    _, coverage_tbl = tables
+    ds = pyramid.images_dataset(
+        tiny_corpus["images"], columns=["image_id", "w", "h", "gt", "srs"]
+    )
+    import ray
+
+    ref = ray.put(coverage_tbl)
+    out = ds.map_batches(
+        spatial.NearestRegion,
+        fn_constructor_kwargs={"coverage_ref": ref, "k": 3},
+        batch_format="pyarrow",
+        concurrency=2,
+    ).to_pandas()
+    assert len(out) == 3 * ds.count()
+    assert set(out["rank"]) == {0, 1, 2}
+    # rank-0 assignment is deterministic: re-run equals itself
+    out2 = ds.map_batches(
+        spatial.NearestRegion,
+        fn_constructor_kwargs={"coverage_ref": ref, "k": 3},
+        batch_format="pyarrow",
+        concurrency=2,
+    ).to_pandas()
+    a = out.sort_values(["image_id", "rank"]).reset_index(drop=True)
+    b = out2.sort_values(["image_id", "rank"]).reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_georef_parser_recovers_gt(ray_session, tiny_corpus, tables):
+    images_tbl, _ = tables
+    ds = pyramid.images_dataset(
+        tiny_corpus["images"], columns=["image_id", "georef_text"]
+    )
+    parsed = georef.attach_parsed_georef(ds).to_pandas().set_index("image_id")
+    ids = images_tbl.column("image_id").to_pylist()
+    gts = images_tbl.column("gt").to_pylist()
+    srss = images_tbl.column("srs").to_pylist()
+    cuts = images_tbl.column("cutline_wkb").to_pylist()
+    n_shifted = 0
+    for i, iid in enumerate(ids):
+        row = parsed.loc[iid]
+        np.testing.assert_allclose(row["gt_parsed"], gts[i], rtol=1e-6, atol=1e-6)
+        assert row["srs_parsed"] == srss[i]
+        ring_a = raster.parse_wkb_polygon(bytes(row["cutline_wkb_parsed"]))
+        ring_b = raster.parse_wkb_polygon(cuts[i])
+        np.testing.assert_allclose(ring_a, ring_b, atol=1e-3)
+        n_shifted += row["datum"] != "WGS 84"
+    assert n_shifted > 0  # the datum-table path was exercised
+
+
+def test_georef_parser_rejects_garbage():
+    with pytest.raises(ValueError):
+        georef.parse_georef_text("not a sidecar")
+    with pytest.raises(ValueError):
+        georef.parse_georef_text(
+            "OziExplorer Map Data File Version 2.2\nimg\nMARS-DATUM,EPSG:3857"
+        )
+
+
+@pytest.fixture(scope="module")
+def base_tiles_df(ray_session, tiny_corpus):
+    z_base = pyramid.auto_zoom(tiny_corpus["images"])
+    ds = pyramid.base_tiles(tiny_corpus["images"], z_base=z_base).materialize()
+    return z_base, ds, ds.to_pandas()
+
+
+def test_merge_self_is_identity_pixels(ray_session, tiny_corpus, base_tiles_df):
+    """Merging a tileset with itself: opaque-pixel sets identical,
+    pixels unchanged wherever alpha is binary (self-over is idempotent
+    for full alpha)."""
+    z_base, ds_a, df = base_tiles_df
+    merged = tileset.merge_tilesets([ds_a, ds_a]).to_pandas()
+    assert sorted(merged["tile_key"]) == sorted(df["tile_key"])
+    a = df.set_index("tile_key")
+    for row in merged.itertuples(index=False):
+        pa_ = np.frombuffer(a.loc[row.tile_key, "pixels"], np.uint8)
+        pb = np.frombuffer(row.pixels, np.uint8)
+        assert np.array_equal(pa_, pb)
+
+
+def test_merge_priority(ray_session):
+    """Second tileset paints over the first on collisions."""
+    import ray.data as rd
+
+    red = np.zeros((256, 256, 4), np.uint8)
+    red[..., 0] = 255
+    red[..., 3] = 255
+    blue = np.zeros((256, 256, 4), np.uint8)
+    blue[..., 2] = 255
+    blue[..., 3] = 255
+    key = int(tg.pack_key(5, 3, 4))
+
+    def one(pixels, cap):
+        return rd.from_items(
+            [
+                {
+                    "tile_key": key,
+                    "z": 5,
+                    "x": 3,
+                    "y": 4,
+                    "pixels": pixels.tobytes(),
+                    "caption": cap,
+                    "src_ids": [cap],
+                    "checksum": 0,
+                    "part": 0,
+                }
+            ]
+        )
+
+    merged = tileset.merge_tilesets([one(red, "red"), one(blue, "blue")]).to_pandas()
+    assert len(merged) == 1
+    out = np.frombuffer(merged["pixels"][0], np.uint8).reshape(256, 256, 4)
+    assert np.array_equal(out, blue)
+    assert list(merged["src_ids"][0]) == ["red", "blue"]
+
+
+def test_convert_export_import_roundtrip(
+    ray_session, tiny_corpus, base_tiles_df, tmp_path
+):
+    z_base, full_ds, df = base_tiles_df
+    sub = df.head(20)
+    keep = set(sub["tile_key"])
+    ds = full_ds.filter(lambda row: row["tile_key"] in keep)
+    # path codec column
+    for layout in tg.TILE_LAYOUTS:
+        p = tileset.with_layout_paths(ds, layout=layout).to_pandas()
+        for row in p.itertuples(index=False):
+            assert tg.path_to_coord(row.path, layout=layout) == (
+                row.z,
+                row.x,
+                row.y,
+            )
+    # export a real tree (png) then read it back
+    root = str(tmp_path / "tree")
+    meta = tileset.export_tree(ds, root, layout="sasplanet", fmt="png")
+    assert meta["n_tiles"] == len(sub)
+    back = tileset.read_tile_tree(root, layout="sasplanet")
+    back = tileset.decode_tree_tiles(back).to_pandas()
+    assert sorted(back["tile_key"]) == sorted(sub["tile_key"])
+    orig = sub.set_index("tile_key")
+    for row in back.itertuples(index=False):
+        a = np.frombuffer(orig.loc[row.tile_key, "pixels"], np.uint8)
+        b = np.frombuffer(row.pixels, np.uint8)
+        assert np.array_equal(a, b)  # png roundtrip byte-exact
+
+
+def test_tileset_stats(ray_session, base_tiles_df):
+    z_base, ds, df = base_tiles_df
+    stats = tileset.tileset_stats(ds).to_pandas()
+    assert len(stats) == 1
+    assert int(stats["n_tiles"][0]) == len(df)
+    assert int(stats["min_x"][0]) == df["x"].min()
+    assert int(stats["max_y"][0]) == df["y"].max()

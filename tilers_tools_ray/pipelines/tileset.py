@@ -1,0 +1,245 @@
+"""Tile-set transforms: merge, convert, tree export/import, stats.
+
+Engine equivalents of ``tiles_merge.py`` + ``tiles_convert.py``
+(SURVEY.md §3.3):
+
+  merge_tilesets   — N tile Datasets → one, compositing collisions in
+                     CLI order (D1/J4/A1). Same part-grouped shuffle as
+                     the pyramid composite.
+  convert_layout   — pure key/path re-codec (M9) + optional re-encode
+                     (M2); embarrassingly parallel, NO shuffle (the
+                     TMS↔XYZ y-flip is per-row).
+  export_tree      — materialize a real z/x/y.ext directory tree (S7)
+                     via a side-effect map_batches writer + a tilemap
+                     metadata sidecar (A3 rollup).
+  read_tile_tree   — tile-directory source (S8): read_binary_files +
+                     path→(z,x,y) parse, any registered layout.
+  tileset_stats    — per-zoom count/bbox aggregate (A3).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+
+from .. import codecs, raster
+from .. import tilegrid as tg
+from ..stages import tiling
+
+
+def _to_merge_fragments(tiles_ds, order, z_part_of):
+    """Tile rows → merge-fragment rows with tileset ``order``."""
+
+    def tag(batch: pa.Table) -> pa.Table:
+        keys = batch.column("tile_key").to_numpy()
+        z, x, y = tg.unpack_key(keys)
+        zp = np.array([z_part_of(int(v)) for v in z], dtype=np.int64)
+        part = tg.pack_key(zp, x >> (z - zp), y >> (z - zp))
+        cols = {
+            "part": pa.array(part, pa.int64()),
+            "tile_key": batch.column("tile_key"),
+            "order": pa.array(np.full(len(keys), order), pa.int32()),
+            "caption": batch.column("caption"),
+            "pixels": batch.column("pixels"),
+            "src_ids": batch.column("src_ids"),
+        }
+        return pa.table(cols)
+
+    return tiles_ds.map_batches(tag, batch_format="pyarrow")
+
+
+def merge_part_group(group: pa.Table) -> pa.Table:
+    """All (tileset, tile) entries of one part → merged tile rows."""
+    part = int(group.column("part")[0].as_py())
+    keys = group.column("tile_key").to_pylist()
+    orders = group.column("order").to_pylist()
+    caps = group.column("caption").to_pylist()
+    pix = group.column("pixels").to_pylist()
+    srcs = group.column("src_ids").to_pylist()
+    per_tile = {}
+    for i, k in enumerate(keys):
+        per_tile.setdefault(k, []).append(
+            (orders[i], None, caps[i], tiling._np_frag(pix[i]), srcs[i])
+        )
+    reduced = []
+    for k in sorted(per_tile):
+        pixels, caption, src_ids = raster.reduce_merge_group(per_tile[k])
+        reduced.append((part, k, pixels, caption, src_ids))
+    return tiling._tile_rows(reduced)
+
+
+def merge_tilesets(tile_datasets, *, z_part_delta=4):
+    """Union N tile Datasets (CLI order = composite priority) and
+    re-composite colliding tile keys. Pure (no writes)."""
+
+    def z_part_of(z):
+        return max(z - z_part_delta, 0)
+
+    tagged = [
+        _to_merge_fragments(ds, order, z_part_of)
+        for order, ds in enumerate(tile_datasets)
+    ]
+    unioned = tagged[0]
+    for t in tagged[1:]:
+        unioned = unioned.union(t)
+    return unioned.groupby("part").map_groups(
+        merge_part_group, batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# layout conversion (M9) and tree export/import (S7/S8)
+# ---------------------------------------------------------------------------
+
+
+def with_layout_paths(tiles_ds, layout="xyz", ext="png"):
+    """Add a ``path`` column per cache layout — vectorized-ish string
+    codec, no shuffle (tiles_convert.py::coord2path [R])."""
+
+    def add_path(batch: pa.Table) -> pa.Table:
+        zs = batch.column("z").to_pylist()
+        xs = batch.column("x").to_pylist()
+        ys = batch.column("y").to_pylist()
+        paths = [
+            tg.coord_to_path(z, x, y, layout=layout, ext=ext)
+            for z, x, y in zip(zs, xs, ys)
+        ]
+        return batch.append_column("path", pa.array(paths, pa.string()))
+
+    return tiles_ds.map_batches(add_path, batch_format="pyarrow")
+
+
+def export_tree(tiles_ds, root, *, layout="xyz", fmt="png", concurrency=(1, 8)):
+    """Write a real tile tree ``root/z/x/y.ext`` (+ tilemap.json
+    sidecar). The writer is a side-effect map_batches stage returning
+    (path, n_bytes) rows; consume its count to run it."""
+
+    class WriteTiles:
+        def __init__(self):
+            self.fmt = fmt
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            zs = batch.column("z").to_pylist()
+            xs = batch.column("x").to_pylist()
+            ys = batch.column("y").to_pylist()
+            pix = batch.column("pixels").to_pylist()
+            out_paths, out_sz = [], []
+            for z, x, y, p in zip(zs, xs, ys, pix):
+                rel = tg.coord_to_path(z, x, y, layout=layout, ext=self.fmt)
+                dest = os.path.join(root, rel)
+                os.makedirs(os.path.dirname(dest), exist_ok=True)
+                blob = codecs.encode_image(tiling._np_frag(p), self.fmt)
+                tmp = dest + f".tmp.{os.getpid()}"
+                with open(tmp, "wb") as f:
+                    f.write(blob)
+                os.replace(tmp, dest)
+                out_paths.append(rel)
+                out_sz.append(len(blob))
+            return pa.table(
+                {
+                    "path": pa.array(out_paths, pa.string()),
+                    "n_bytes": pa.array(out_sz, pa.int64()),
+                }
+            )
+
+    os.makedirs(root, exist_ok=True)
+    written = tiles_ds.map_batches(
+        WriteTiles,
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+    n = written.count()
+    stats = tileset_stats(tiles_ds).to_pandas()
+    meta = {
+        "layout": layout,
+        "fmt": fmt,
+        "tile_size": tg.TILE_SIZE,
+        "n_tiles": int(n),
+        "zooms": {
+            int(r.z): {
+                "count": int(r.n_tiles),
+                "x": [int(r.min_x), int(r.max_x)],
+                "y": [int(r.min_y), int(r.max_y)],
+            }
+            for r in stats.itertuples(index=False)
+        },
+    }
+    with open(os.path.join(root, "tilemap.json"), "w") as f:
+        json.dump(meta, f, indent=1, sort_keys=True)
+    return meta
+
+
+def read_tile_tree(root, layout="xyz"):
+    """Tile-directory source: binary files + path parse → tile rows
+    (tile_key, z, x, y, tile_bytes, fmt). Any registered layout."""
+    import ray.data as rd
+
+    ds = rd.read_binary_files(
+        root, include_paths=True, file_extensions=["png", "raw", "dct"]
+    )
+    rootp = os.path.abspath(root)
+
+    def parse(batch: pa.Table) -> pa.Table:
+        paths = batch.column("path").to_pylist()
+        blobs = batch.column("bytes").to_pylist()
+        zs, xs, ys, keys, fmts = [], [], [], [], []
+        for p in paths:
+            rel = os.path.relpath(os.path.abspath(p), rootp)
+            z, x, y = tg.path_to_coord(rel, layout=layout)
+            zs.append(z)
+            xs.append(x)
+            ys.append(y)
+            keys.append(int(tg.pack_key(z, x, y)))
+        for b in blobs:
+            fmts.append(
+                "raw" if b[:4] == b"RAW1" else "dct" if b[:4] == b"DCT1" else "png"
+            )
+        return pa.table(
+            {
+                "tile_key": pa.array(keys, pa.int64()),
+                "z": pa.array(zs, pa.int8()),
+                "x": pa.array(xs, pa.int32()),
+                "y": pa.array(ys, pa.int32()),
+                "tile_bytes": pa.array(blobs, pa.binary()),
+                "fmt": pa.array(fmts, pa.string()),
+            }
+        )
+
+    return ds.map_batches(parse, batch_format="pyarrow")
+
+
+def decode_tree_tiles(tree_ds, concurrency=(1, 8)):
+    """tile_bytes → raw ``pixels`` column (M1 over a tile tree)."""
+
+    class Decode:
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            pix = [
+                np.ascontiguousarray(
+                    codecs.decode_image(b.as_py() if hasattr(b, "as_py") else b)
+                ).tobytes()
+                for b in batch.column("tile_bytes").to_pylist()
+            ]
+            return batch.append_column("pixels", pa.array(pix, pa.binary()))
+
+    return tree_ds.map_batches(
+        Decode, batch_format="pyarrow", batch_size=64, concurrency=concurrency
+    )
+
+
+def tileset_stats(tiles_ds):
+    """A3: per-zoom tile count + x/y extent aggregate (one small
+    shuffle over tiny grouped rows)."""
+    from ray.data.aggregate import Count, Max, Min
+
+    return tiles_ds.groupby("z").aggregate(
+        Count(alias_name="n_tiles"),
+        Min("x", alias_name="min_x"),
+        Max("x", alias_name="max_x"),
+        Min("y", alias_name="min_y"),
+        Max("y", alias_name="max_y"),
+    )

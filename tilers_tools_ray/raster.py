@@ -256,6 +256,20 @@ def _neg_id(image_id):
     return tuple(-ord(c) for c in image_id)
 
 
+def reduce_merge_group(entries):
+    """Tile-set merge reduce (tiles_merge.py semantics [C]: CLI-order
+    paste-with-mask): entries = (order, label, caption, pixels,
+    src_ids), composited in ascending ``order`` (later set paints
+    over earlier). Caption: max-opaque-coverage contributor, ties →
+    lowest order. src_ids: concatenation in composite order."""
+    entries = sorted(entries, key=lambda e: e[0])
+    pixels = composite_fragments([e[3] for e in entries])
+    best = max(entries, key=lambda e: (int((e[3][:, :, 3] > 0).sum()), -e[0]))
+    caption = best[2]
+    src_ids = [s for e in entries for s in e[4]]
+    return pixels, caption, src_ids
+
+
 def reduce_parent_group(children):
     """Overview reduce: children = dict {(dx,dy): (pixels, caption,
     src_ids)} → (pixels, caption, src_ids) of the parent.

@@ -1,0 +1,155 @@
+"""Spatial-join stages (SURVEY.md §2 J2/J3/T3).
+
+The reference's only spatial predicate is the cutline test "is this
+tile inside the map border" (gdal_tiler.py [C]); the graft generalizes
+it to a broadcast spatial join of image rows against the small
+coverage-polygon table: quadtree cell-encode prefilter + exact
+ray-casting PIP, with a kNN nearest-region fallback for near-misses at
+cutline edges (BASELINE.json:14).
+
+Shape: the coverage table is SMALL → ``ray.put`` once on the driver;
+each actor builds the CoverageIndex ONCE in ``__init__`` (T3) and every
+batch gets a vectorized assign. No shuffle anywhere in the join.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .. import geometry as geo
+from .. import raster
+
+
+def centroids_merc(batch: pa.Table):
+    """Footprint centroids (mercator) for a batch of image rows."""
+    gts = batch.column("gt").to_pylist()
+    srs = batch.column("srs").to_pylist()
+    ws = batch.column("w").to_pylist()
+    hs = batch.column("h").to_pylist()
+    n = batch.num_rows
+    cx = np.empty(n)
+    cy = np.empty(n)
+    for i in range(n):
+        corners = raster.source_to_merc_corners(
+            np.asarray(gts[i], dtype=np.float64), ws[i], hs[i], srs[i]
+        )
+        cx[i] = corners[:, 0].mean()
+        cy[i] = corners[:, 1].mean()
+    return cx, cy
+
+
+def coverage_index_from_table(coverage_tbl, level=7):
+    return geo.CoverageIndex(
+        coverage_tbl.column("region_id").to_pylist(),
+        coverage_tbl.column("ring_xy").to_pylist(),
+        level=level,
+    )
+
+
+class SpatialJoiner:
+    """Actor-pool map_batches: image rows → (image_id, region_id) rows.
+
+    ``how``: 'inner' drops unmatched; 'left' keeps them with
+    region_id=None; 'semi' returns matched input rows; 'anti' returns
+    unmatched input rows. ``knn_eps`` (meters) enables the kNN
+    fallback for points missing every polygon by ≤ ε (J3).
+    """
+
+    def __init__(self, coverage_ref, level=7, knn_eps=None, how="inner"):
+        if not isinstance(coverage_ref, pa.Table):
+            import ray
+
+            coverage_ref = ray.get(coverage_ref)
+        self.index = coverage_index_from_table(coverage_ref, level=level)
+        self.knn_eps = knn_eps
+        self.how = how
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cx, cy = centroids_merc(batch)
+        ordinals = self.index.assign(cx, cy, knn_eps=self.knn_eps)
+        matched = ordinals >= 0
+        if self.how == "semi":
+            return batch.filter(pa.array(matched))
+        if self.how == "anti":
+            return batch.filter(pa.array(~matched))
+        ids = batch.column("image_id").to_pylist()
+        if self.how == "inner":
+            keep = np.flatnonzero(matched)
+            return pa.table(
+                {
+                    "image_id": pa.array([ids[i] for i in keep], pa.string()),
+                    "region_id": pa.array(
+                        [self.index.region_ids[int(ordinals[i])] for i in keep],
+                        pa.string(),
+                    ),
+                }
+            )
+        if self.how == "left":
+            return pa.table(
+                {
+                    "image_id": pa.array(ids, pa.string()),
+                    "region_id": pa.array(
+                        [
+                            self.index.region_ids[int(o)] if o >= 0 else None
+                            for o in ordinals
+                        ],
+                        pa.string(),
+                    ),
+                }
+            )
+        raise ValueError(f"unknown how={self.how!r}")
+
+
+class NearestRegion:
+    """Pure kNN stage (J3 standalone): every image row → its k nearest
+    region ids by centroid distance (brute force over the broadcast
+    centroid array)."""
+
+    def __init__(self, coverage_ref, k=1, level=7):
+        if not isinstance(coverage_ref, pa.Table):
+            import ray
+
+            coverage_ref = ray.get(coverage_ref)
+        self.index = coverage_index_from_table(coverage_ref, level=level)
+        self.k = int(k)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cx, cy = centroids_merc(batch)
+        nn = self.index.knn(cx, cy, k=self.k)
+        ids = batch.column("image_id").to_pylist()
+        out_ids, out_regs, out_rank = [], [], []
+        for i, row in enumerate(nn):
+            for r, o in enumerate(row):
+                out_ids.append(ids[i])
+                out_regs.append(self.index.region_ids[int(o)])
+                out_rank.append(r)
+        return pa.table(
+            {
+                "image_id": pa.array(out_ids, pa.string()),
+                "region_id": pa.array(out_regs, pa.string()),
+                "rank": pa.array(out_rank, pa.int32()),
+            }
+        )
+
+
+def spatial_join(
+    images_ds, coverage_tbl, *, level=7, knn_eps=None, how="inner", concurrency=(1, 8)
+):
+    """images Dataset ⋈ coverage table (broadcast). Returns a Dataset."""
+    import ray
+
+    ref = ray.put(coverage_tbl)
+    return images_ds.map_batches(
+        SpatialJoiner,
+        fn_constructor_kwargs={
+            "coverage_ref": ref,
+            "level": level,
+            "knn_eps": knn_eps,
+            "how": how,
+        },
+        batch_format="pyarrow",
+        batch_size=2048,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
