@@ -1,0 +1,175 @@
+"""Generic relational operators over Ray Data (SURVEY.md §2 J5, A, O, D).
+
+The reference has no relational layer; this exists for the driver's
+DuckDB-oracle correctness gate (``__ray_entry__.py`` contract) and as
+the engine's general-purpose query toolkit. Patterns follow
+ray_guide.md: broadcast the small side of a join (``ray.put`` once,
+pandas merge per batch), bucket-hash both sides when large
+(tagged union → ``groupby(bucket)`` → per-bucket pandas merge),
+pre-aggregate inside ``map_batches`` before any groupby.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def read(sf_dir, table, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(
+        os.path.join(sf_dir, f"{table}.parquet"), columns=columns
+    )
+
+
+def read_pandas(sf_dir, table, columns=None):
+    import pyarrow.parquet as pq
+
+    return pq.read_table(
+        os.path.join(sf_dir, f"{table}.parquet"), columns=columns
+    ).to_pandas()
+
+
+# ---------------------------------------------------------------------------
+# joins
+# ---------------------------------------------------------------------------
+
+
+def broadcast_join(left_ds, right_df, on, how="inner", suffix="_r"):
+    """Small right side: ship once via ray.put, pandas-merge per batch.
+    No shuffle (ray_guide.md 'Joins and lookups')."""
+    import ray
+
+    ref = ray.put(right_df)
+
+    class Merge:
+        def __init__(self):
+            self.right = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            return batch.merge(self.right, on=on, how=how, suffixes=("", suffix))
+
+    return left_ds.map_batches(
+        Merge, batch_format="pandas", batch_size=65536, concurrency=(1, 8)
+    )
+
+
+def hash_join(
+    left_ds, right_ds, on, right_on=None, how="inner", num_partitions=32
+):
+    """Both sides large: Ray's native hash-partitioned join (shuffles
+    both sides on the key). ``num_partitions`` is the explicit
+    partitioning decision — size it to cluster CPUs."""
+    on_t = (on,) if isinstance(on, str) else tuple(on)
+    r_t = None
+    if right_on is not None:
+        r_t = (right_on,) if isinstance(right_on, str) else tuple(right_on)
+    return left_ds.join(
+        right_ds,
+        join_type=how,
+        num_partitions=num_partitions,
+        on=on_t,
+        right_on=r_t,
+    )
+
+
+def bucket_join(left_ds, right_ds, on, *, n_buckets=32, how="inner"):
+    """Portable explicit partitioned hash join (the ray_guide.md
+    pattern, kept as the fallback for Ray versions without
+    ``Dataset.join``): add ``bucket = hash(key) % B`` to both sides,
+    tag, pad to a shared schema, union, group by bucket, pandas-merge
+    inside each group. Requires the two sides' non-key column names to
+    be disjoint (true for TPC-H-style schemas)."""
+    key = on if isinstance(on, str) else on[0]
+    lcols = [f.name for f in left_ds.schema().base_schema]
+    rcols = [f.name for f in right_ds.schema().base_schema]
+    shared = [c for c in lcols if c in rcols]
+    assert shared == ([on] if isinstance(on, str) else list(on)), (
+        f"bucket_join needs disjoint non-key columns, shared={shared}"
+    )
+    all_cols = lcols + [c for c in rcols if c not in lcols]
+
+    def tag(side, have):
+        def fn(batch: pd.DataFrame) -> pd.DataFrame:
+            k = batch[key].to_numpy()
+            batch = batch.copy()
+            for c in all_cols:
+                if c not in have:
+                    batch[c] = None
+            batch = batch[all_cols]
+            batch["__bucket"] = np.abs(k.astype(np.int64)) % n_buckets
+            batch["__side"] = side
+            return batch
+
+        return fn
+
+    lt = left_ds.map_batches(tag(0, lcols), batch_format="pandas")
+    rt = right_ds.map_batches(tag(1, rcols), batch_format="pandas")
+
+    def join_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        left = group[group["__side"] == 0][lcols]
+        right = group[group["__side"] == 1][rcols]
+        out = left.merge(right, on=on, how=how, suffixes=("", "_r"))
+        return out
+
+    return lt.union(rt).groupby("__bucket").map_groups(
+        join_bucket, batch_format="pandas"
+    )
+
+
+# ---------------------------------------------------------------------------
+# pre-aggregated groupby (partial combine before the shuffle)
+# ---------------------------------------------------------------------------
+
+
+def preagg_sum_count(ds, keys, sum_cols, count_alias="n"):
+    """Per-batch partial sums/counts → small groupby → final sums.
+    Returns a Dataset with columns keys + sum_cols + count_alias.
+    The shuffle moves one row per (batch, key-combo), not per input
+    row (ray_guide.md 'Aggregation at scale')."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby(list(keys), as_index=False, sort=False).agg(
+            **{c: (c, "sum") for c in sum_cols},
+            **{count_alias: (keys[0], "size")},
+        )
+        return g
+
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+    aggs = [Sum(c, alias_name=c) for c in sum_cols] + [
+        Sum(count_alias, alias_name=count_alias)
+    ]
+    return partials.groupby(list(keys)).aggregate(*aggs)
+
+
+def topk(ds, by, k, descending=True, tie_col=None):
+    """Global top-k: per-block partial top-k then a final sort+limit
+    (the partial pass bounds what the sort shuffles)."""
+    cols = [by] + ([tie_col] if tie_col else [])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.sort_values(
+            cols, ascending=[not descending] + [True] * (len(cols) - 1)
+        ).head(k)
+
+    pruned = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+    out = pruned.sort(cols, descending=[descending] + [False] * (len(cols) - 1))
+    return out.limit(k)

@@ -1,0 +1,602 @@
+"""Query registry for the driver contract (``__ray_entry__.py``).
+
+Each entry in :data:`QUERIES` is a callable ``fn(sf_dir) →
+Dataset | DataFrame | Table``; entries in :data:`ORACLES` are the
+ANSI-SQL equivalents DuckDB runs on the same parquet tables. Column
+names match EXACTLY between both sides (driver hashes values after
+sorting columns by name). Queries without an oracle are genuinely
+non-SQL-expressible (LSH, heuristics, tiling) → rows-only checks.
+
+Float policy: aggregates rounded to 2 decimals on BOTH sides (rounding
+the float64 sums makes the distributed-vs-serial summation order
+irrelevant except at exact .005 boundaries).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+
+from . import ann, dedup, ops, text
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-style relational queries (J5 / A / O coverage)
+# ---------------------------------------------------------------------------
+
+
+def q1_pricing_summary(sf_dir):
+    ds = ops.read(
+        sf_dir,
+        "lineitem",
+        columns=[
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+        ],
+    )
+
+    def enrich(b: pd.DataFrame) -> pd.DataFrame:
+        b["disc_price"] = b["l_extendedprice"] * (1 - b["l_discount"])
+        return b
+
+    ds = ds.map_batches(enrich, batch_format="pandas")
+    agg = ops.preagg_sum_count(
+        ds,
+        ["l_returnflag", "l_linestatus"],
+        ["l_quantity", "l_extendedprice", "disc_price"],
+        count_alias="count_order",
+    )
+    df = agg.to_pandas()
+    out = pd.DataFrame(
+        {
+            "l_returnflag": df["l_returnflag"],
+            "l_linestatus": df["l_linestatus"],
+            "sum_qty": df["l_quantity"].round(2),
+            "sum_base_price": df["l_extendedprice"].round(2),
+            "sum_disc_price": df["disc_price"].round(2),
+            "avg_qty": (df["l_quantity"] / df["count_order"]).round(2),
+            "count_order": df["count_order"].astype("int64"),
+        }
+    )
+    return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                          AS sum_qty,
+       round(sum(l_extendedprice), 2)                     AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)  AS sum_disc_price,
+       round(sum(l_quantity) / count(*), 2)               AS avg_qty,
+       count(*)                                           AS count_order
+FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q3_top_revenue_orders(sf_dir):
+    cust = ops.read_pandas(
+        sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]
+    )
+    keys = cust.loc[cust["c_mktsegment"] == "BUILDING", ["c_custkey"]].rename(
+        columns={"c_custkey": "o_custkey"}
+    )
+    orders = ops.read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    orders_b = ops.broadcast_join(orders, keys, on="o_custkey", how="inner")
+    li = ops.read(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+
+    def rev(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "l_orderkey": b["l_orderkey"],
+                "revenue": b["l_extendedprice"] * (1 - b["l_discount"]),
+            }
+        )
+
+    li = li.map_batches(rev, batch_format="pandas")
+    joined = ops.hash_join(
+        li,
+        orders_b.select_columns(["o_orderkey"]),
+        on="l_orderkey",
+        right_on="o_orderkey",
+        num_partitions=16,
+    )
+    agg = ops.preagg_sum_count(joined, ["l_orderkey"], ["revenue"])
+    df = agg.to_pandas()
+    df["revenue"] = df["revenue"].round(2)
+    df = df.sort_values(["revenue", "l_orderkey"], ascending=[False, True]).head(10)
+    return pd.DataFrame(
+        {"o_orderkey": df["l_orderkey"].astype("int64"), "revenue": df["revenue"]}
+    ).reset_index(drop=True)
+
+
+Q3_SQL = """
+SELECT o_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey ORDER BY revenue DESC, o_orderkey LIMIT 10
+"""
+
+
+def q5_nation_revenue(sf_dir):
+    nation = ops.read_pandas(sf_dir, "nation", columns=["n_nationkey", "n_name"])
+    cust = ops.read_pandas(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    cust = cust.merge(
+        nation, left_on="c_nationkey", right_on="n_nationkey", how="inner"
+    )[["c_custkey", "n_name"]].rename(columns={"c_custkey": "o_custkey"})
+    orders = ops.read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    orders_n = ops.broadcast_join(orders, cust, on="o_custkey", how="inner")
+    li = ops.read(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"]
+    )
+
+    def rev(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "l_orderkey": b["l_orderkey"],
+                "revenue": b["l_extendedprice"] * (1 - b["l_discount"]),
+            }
+        )
+
+    li = li.map_batches(rev, batch_format="pandas")
+    joined = ops.hash_join(
+        li,
+        orders_n.select_columns(["o_orderkey", "n_name"]),
+        on="l_orderkey",
+        right_on="o_orderkey",
+        num_partitions=16,
+    )
+    agg = ops.preagg_sum_count(joined, ["n_name"], ["revenue"], count_alias="n_items")
+    df = agg.to_pandas()
+    out = pd.DataFrame(
+        {
+            "n_name": df["n_name"],
+            "revenue": df["revenue"].round(2),
+            "n_items": df["n_items"].astype("int64"),
+        }
+    )
+    return out.sort_values("n_name").reset_index(drop=True)
+
+
+Q5_SQL = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM nation JOIN customer ON n_nationkey = c_nationkey
+            JOIN orders   ON c_custkey = o_custkey
+            JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY n_name ORDER BY n_name
+"""
+
+
+def top_orders_by_price(sf_dir):
+    orders = ops.read(
+        sf_dir, "orders", columns=["o_orderkey", "o_orderstatus", "o_totalprice"]
+    )
+    import pyarrow.compute as pc
+
+    filtered = orders.map_batches(
+        lambda t: t.filter(pc.equal(t["o_orderstatus"], "O")),
+        batch_format="pyarrow",
+    ).select_columns(["o_orderkey", "o_totalprice"])
+    return ops.topk(filtered, "o_totalprice", 100, tie_col="o_orderkey")
+
+
+TOP_ORDERS_SQL = """
+SELECT o_orderkey, o_totalprice FROM orders
+WHERE o_orderstatus = 'O'
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+"""
+
+
+def segment_stats(sf_dir):
+    cust = ops.read(sf_dir, "customer", columns=["c_mktsegment", "c_acctbal"])
+    from ray.data.aggregate import Count, Max, Mean, Min
+
+    agg = cust.groupby("c_mktsegment").aggregate(
+        Count(alias_name="n_customers"),
+        Mean("c_acctbal", alias_name="avg_acctbal"),
+        Min("c_acctbal", alias_name="min_acctbal"),
+        Max("c_acctbal", alias_name="max_acctbal"),
+    )
+    df = agg.to_pandas()
+    for c in ("avg_acctbal", "min_acctbal", "max_acctbal"):
+        df[c] = df[c].round(2)
+    df["n_customers"] = df["n_customers"].astype("int64")
+    return df.sort_values("c_mktsegment").reset_index(drop=True)
+
+
+SEGMENT_SQL = """
+SELECT c_mktsegment,
+       count(*) AS n_customers,
+       round(avg(c_acctbal), 2) AS avg_acctbal,
+       round(min(c_acctbal), 2) AS min_acctbal,
+       round(max(c_acctbal), 2) AS max_acctbal
+FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+def events_hourly(sf_dir):
+    ev = ops.read(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def bucket(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "hour": b["ts"].dt.floor("h").dt.strftime("%Y-%m-%d %H:%M:%S"),
+                "event_type": b["event_type"],
+                "value": b["value"],
+            }
+        )
+
+    bucketed = ev.map_batches(bucket, batch_format="pandas")
+    agg = ops.preagg_sum_count(
+        bucketed, ["hour", "event_type"], ["value"], count_alias="n_events"
+    )
+    df = agg.to_pandas()
+    out = pd.DataFrame(
+        {
+            "hour": df["hour"],
+            "event_type": df["event_type"],
+            "n_events": df["n_events"].astype("int64"),
+            "sum_value": df["value"].round(2),
+        }
+    )
+    return out.sort_values(["hour", "event_type"]).reset_index(drop=True)
+
+
+EVENTS_HOURLY_SQL = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def brand_volume(sf_dir):
+    part = ops.read_pandas(sf_dir, "part", columns=["p_partkey", "p_brand"]).rename(
+        columns={"p_partkey": "l_partkey"}
+    )
+    li = ops.read(sf_dir, "lineitem", columns=["l_partkey", "l_quantity"])
+    joined = ops.broadcast_join(li, part, on="l_partkey", how="inner")
+    agg = ops.preagg_sum_count(
+        joined, ["p_brand"], ["l_quantity"], count_alias="n_items"
+    )
+    df = agg.to_pandas()
+    out = pd.DataFrame(
+        {
+            "p_brand": df["p_brand"],
+            "sum_qty": df["l_quantity"].round(2),
+            "n_items": df["n_items"].astype("int64"),
+        }
+    )
+    return out.sort_values("p_brand").reset_index(drop=True)
+
+
+BRAND_SQL = """
+SELECT p_brand, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand ORDER BY p_brand
+"""
+
+
+def events_sessionize(sf_dir):
+    """Session windows per user: new session when the gap to the
+    previous event exceeds 30 min (ray_guide.md 'Streaming-shaped
+    workloads': sort-within-group windowing)."""
+    ev = ops.read(sf_dir, "events", columns=["user_id", "ts", "value", "event_id"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        gap = g["ts"].diff().dt.total_seconds()
+        new_s = (gap.isna() | (gap > 1800)).astype("int64")
+        g["session_idx"] = new_s.cumsum()
+        out = g.groupby("session_idx", as_index=False).agg(
+            n_events=("ts", "size"), sum_value=("value", "sum")
+        )
+        out.insert(0, "user_id", g["user_id"].iloc[0])
+        out["sum_value"] = out["sum_value"].round(2)
+        out["n_events"] = out["n_events"].astype("int64")
+        return out
+
+    out = ev.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    return out.sort(["user_id", "session_idx"])
+
+
+SESSIONIZE_SQL = """
+WITH t AS (
+  SELECT user_id, ts, value, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts, value,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM t
+)
+SELECT user_id, session_idx, count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM s GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# documents: text analysis + dedup
+# ---------------------------------------------------------------------------
+
+
+def doc_token_stats(sf_dir):
+    docs = ops.read(sf_dir, "documents", columns=["doc_id", "text"])
+    return docs.map_batches(text.token_stats, batch_format="pandas").sort("doc_id")
+
+
+TOKEN_STATS_SQL = r"""
+SELECT doc_id,
+       length(regexp_extract_all(text, '\S+'))                            AS n_tokens,
+       length(regexp_extract_all(text, '[A-Za-zÀ-ɏ]+|\d+|[^\sA-Za-z\d]')) AS n_subwords,
+       length(regexp_replace(text, '[^A-Za-z]', '', 'g'))                 AS alpha_chars
+FROM documents ORDER BY doc_id
+"""
+
+
+def dedup_exact_docs(sf_dir):
+    docs = ops.read(sf_dir, "documents", columns=["doc_id", "text"])
+    return dedup.exact_dedup(docs)
+
+
+DEDUP_EXACT_SQL = """
+SELECT min(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY doc_id
+"""
+
+
+def doc_quality(sf_dir):
+    docs = ops.read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = docs.map_batches(
+        text.QualityScorer,
+        batch_format="pandas",
+        batch_size=2048,
+        concurrency=(1, 4),
+    )
+    return out.sort("doc_id")
+
+
+def lang_id(sf_dir):
+    docs = ops.read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    out = docs.map_batches(
+        text.LangId, batch_format="pandas", batch_size=2048, concurrency=(1, 4)
+    )
+    return out.sort("doc_id")
+
+
+def doc_fingerprints(sf_dir):
+    docs = ops.read(sf_dir, "documents", columns=["doc_id", "text"])
+    return docs.map_batches(
+        text.rolling_fingerprint, batch_format="pandas"
+    ).sort("doc_id")
+
+
+def minhash_near_dups(sf_dir):
+    docs = ops.read(sf_dir, "documents", columns=["doc_id", "text"])
+    return dedup.minhash_lsh_pairs(docs, jaccard_threshold=0.6)
+
+
+def simhash_near_dups(sf_dir):
+    docs = ops.read(sf_dir, "documents", columns=["doc_id", "text"])
+    return dedup.simhash_pairs(docs, max_hamming=6)
+
+
+# ---------------------------------------------------------------------------
+# embeddings: similarity search
+# ---------------------------------------------------------------------------
+
+N_ANN_QUERIES = 5
+
+
+def _ann_queries(sf_dir):
+    df = ops.read_pandas(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    q = df[df["vec_id"] < N_ANN_QUERIES].sort_values("vec_id")
+    return q["vec_id"].tolist(), np.stack(q["embedding"].to_numpy())
+
+
+def ann_cosine_topk(sf_dir):
+    qids, qvecs = _ann_queries(sf_dir)
+    emb = ops.read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = ann.brute_topk(emb, qids, qvecs, k=10)
+    return out.sort(["query_id", "rank"])
+
+
+ANN_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+  FROM embeddings WHERE vec_id < {N_ANN_QUERIES}
+)
+SELECT q.qid AS query_id, e.vec_id AS vec_id,
+       row_number() OVER (
+         PARTITION BY q.qid
+         ORDER BY list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])) DESC,
+                  e.vec_id
+       ) AS rank
+FROM q CROSS JOIN embeddings e
+WHERE e.vec_id <> q.qid
+QUALIFY rank <= 10
+ORDER BY query_id, rank
+"""
+
+
+def ivf_ann_topk(sf_dir):
+    qids, qvecs = _ann_queries(sf_dir)
+    emb = ops.read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return ann.ivf_topk(emb, qids, qvecs, k=10).sort(["query_id", "rank"])
+
+
+def embedding_dup_pairs(sf_dir):
+    emb = ops.read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return ann.embedding_cosine_dup_pairs(emb, threshold=0.95)[
+        ["vec_a", "vec_b"]
+    ]
+
+
+EMB_DUP_SQL = """
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.95
+ORDER BY vec_a, vec_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# tiling / spatial (rows-only — not SQL-expressible)
+# ---------------------------------------------------------------------------
+
+
+def _corpus_for(sf_dir):
+    """Deterministic engine corpus sized to the driver sf (cached)."""
+    from .. import corpus
+
+    n = 400 if "0.01" in os.path.basename(os.path.normpath(sf_dir)) else 150
+    out = f"/tmp/ttr_corpus_n{n}"
+    return corpus.generate(out, scale="tiny", n_rows=n, seed=1234)
+
+
+def tile_pyramid_stats(sf_dir):
+    from ..pipelines import pyramid, tileset
+
+    paths = _corpus_for(sf_dir)
+    base = pyramid.base_tiles(paths["images"])
+    stats = tileset.tileset_stats(base).to_pandas()
+    stats["z"] = stats["z"].astype("int64")
+    for c in ("n_tiles", "min_x", "max_x", "min_y", "max_y"):
+        stats[c] = stats[c].astype("int64")
+    return stats.sort_values("z").reset_index(drop=True)
+
+
+def spatial_join_images(sf_dir):
+    import pyarrow.parquet as pq
+
+    from ..pipelines import pyramid
+    from ..stages import spatial
+
+    paths = _corpus_for(sf_dir)
+    coverage = pq.read_table(paths["coverage"])
+    ds = pyramid.images_dataset(
+        paths["images"], columns=["image_id", "w", "h", "gt", "srs"]
+    )
+    joined = spatial.spatial_join(ds, coverage, knn_eps=5e4)
+    df = joined.to_pandas()
+    out = (
+        df.groupby("region_id", as_index=False)
+        .agg(n_images=("image_id", "size"))
+        .sort_values("region_id")
+        .reset_index(drop=True)
+    )
+    out["n_images"] = out["n_images"].astype("int64")
+    return out
+
+
+def knn_nearest_regions(sf_dir):
+    import pyarrow.parquet as pq
+    import ray
+
+    from ..pipelines import pyramid
+    from ..stages import spatial
+
+    paths = _corpus_for(sf_dir)
+    coverage = pq.read_table(paths["coverage"])
+    ds = pyramid.images_dataset(
+        paths["images"], columns=["image_id", "w", "h", "gt", "srs"]
+    )
+    ref = ray.put(coverage)
+    out = ds.map_batches(
+        spatial.NearestRegion,
+        fn_constructor_kwargs={"coverage_ref": ref, "k": 3},
+        batch_format="pyarrow",
+        batch_size=2048,
+        concurrency=(1, 4),
+    )
+    return out.sort(["image_id", "rank"])
+
+
+def phash_dedup_images(sf_dir):
+    from ..pipelines import pyramid
+
+    paths = _corpus_for(sf_dir)
+    ds = pyramid.images_dataset(paths["images"], columns=["image_id", "phash"])
+    return dedup.phash_dedup(ds)
+
+
+def parse_georef_sidecars(sf_dir):
+    from ..pipelines import pyramid
+    from ..stages import georef
+
+    paths = _corpus_for(sf_dir)
+    ds = pyramid.images_dataset(
+        paths["images"], columns=["image_id", "georef_text"]
+    )
+    out = georef.attach_parsed_georef(ds)
+    df = out.to_pandas()
+    return (
+        pd.DataFrame(
+            {
+                "image_id": df["image_id"],
+                "srs_parsed": df["srs_parsed"],
+                "datum": df["datum"],
+            }
+        )
+        .sort_values("image_id")
+        .reset_index(drop=True)
+    )
+
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_top_revenue_orders": q3_top_revenue_orders,
+    "q5_nation_revenue": q5_nation_revenue,
+    "top_orders_by_price": top_orders_by_price,
+    "segment_stats": segment_stats,
+    "events_hourly": events_hourly,
+    "events_sessionize": events_sessionize,
+    "brand_volume": brand_volume,
+    "doc_token_stats": doc_token_stats,
+    "dedup_exact_docs": dedup_exact_docs,
+    "doc_quality": doc_quality,
+    "lang_id": lang_id,
+    "doc_fingerprints": doc_fingerprints,
+    "minhash_near_dups": minhash_near_dups,
+    "simhash_near_dups": simhash_near_dups,
+    "ann_cosine_topk": ann_cosine_topk,
+    "ivf_ann_topk": ivf_ann_topk,
+    "embedding_dup_pairs": embedding_dup_pairs,
+    "tile_pyramid_stats": tile_pyramid_stats,
+    "spatial_join_images": spatial_join_images,
+    "knn_nearest_regions": knn_nearest_regions,
+    "phash_dedup_images": phash_dedup_images,
+    "parse_georef_sidecars": parse_georef_sidecars,
+}
+
+ORACLES = {
+    "q1_pricing_summary": Q1_SQL,
+    "q3_top_revenue_orders": Q3_SQL,
+    "q5_nation_revenue": Q5_SQL,
+    "top_orders_by_price": TOP_ORDERS_SQL,
+    "segment_stats": SEGMENT_SQL,
+    "events_hourly": EVENTS_HOURLY_SQL,
+    "events_sessionize": SESSIONIZE_SQL,
+    "brand_volume": BRAND_SQL,
+    "doc_token_stats": TOKEN_STATS_SQL,
+    "dedup_exact_docs": DEDUP_EXACT_SQL,
+    "ann_cosine_topk": ANN_SQL,
+    "embedding_dup_pairs": EMB_DUP_SQL,
+}
