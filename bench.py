@@ -1,0 +1,153 @@
+#!/usr/bin/env python
+"""bench.py — headline throughput + query timings (BASELINE.md).
+
+Headline: full checkpointed tile-pyramid build (base cut → part-grouped
+composite shuffle → overview reduces → per-partition parquet commits)
+over the deterministic bench corpus; metric = wall seconds (and
+tiles/sec) — the task's "tiles/sec (base+overview pyramid build)"
+(BASELINE.json:2).
+
+Also times a representative slice of the relational/dedup/ANN layer
+over ``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1).
+
+Prints ONE JSON line. ``--scaling`` runs the same job in two fresh
+processes (RAY_GRAFT_CPUS=8 then 32 — the sandbox substitute for the
+N vs 4N-node criterion, SURVEY.md §4.4) and reports both throughputs
+plus the scaling efficiency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "q5_nation_revenue",
+    "top_orders_by_price",
+    "events_hourly",
+    "events_sessionize",
+    "doc_token_stats",
+    "dedup_exact_docs",
+    "minhash_near_dups",
+    "ann_cosine_topk",
+    "spatial_join_images",
+    "phash_dedup_images",
+]
+
+CORPUS_ROWS = {"sf0.1": 10000, "sf0.01": 2000, "sf0.001": 400}
+
+
+def run_bench(sf_dir, num_cpus):
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    from tilers_tools_ray import corpus
+    from tilers_tools_ray.pipelines import pyramid
+    from tilers_tools_ray.relational import queries as q
+
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    n = CORPUS_ROWS.get(sf_tag, 2000)
+    paths = corpus.generate(
+        f"/tmp/ttr_bench_{n}", scale="bench", n_rows=n, seed=1234, use_ray=True
+    )
+    # warm the page cache so we measure compute + shuffle, not cold reads
+    import pyarrow.parquet as pq
+
+    pq.read_table(paths["images"])
+
+    out_dir = f"/tmp/ttr_bench_out_c{num_cpus}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.monotonic()
+    summary = pyramid.write_pyramid(
+        paths["images"], out_dir, z_min=5, salt="auto"
+    )
+    t_pyr = time.monotonic() - t0
+    n_tiles = sum(s["tiles"] for s in summary.values())
+
+    import ray.data as rd
+
+    timings = {}
+    for name in BENCH_QUERIES:
+        t0 = time.monotonic()
+        res = q.QUERIES[name](sf_dir)
+        if isinstance(res, rd.Dataset):
+            res.count()  # consume lazily-returned datasets
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    result = {
+        "metric": "tile_pyramid_build_sec",
+        "value": round(t_pyr, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_tag,
+        "num_cpus": num_cpus,
+        "corpus_images": n,
+        "tiles": int(n_tiles),
+        "tiles_per_sec": round(n_tiles / t_pyr, 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_subprocess(ncpu):
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)],
+        env=env,
+        capture_output=True,
+        text=True,
+        check=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    ).stdout
+    return json.loads(out.strip().splitlines()[-1])
+
+
+def main():
+    if "--scaling" in sys.argv:
+        lo_cpu, hi_cpu = 8, 32
+        lo = run_subprocess(lo_cpu)
+        hi = run_subprocess(hi_cpu)
+        eff = (lo["value"] / hi["value"]) / (hi_cpu / lo_cpu)
+        print(
+            json.dumps(
+                {
+                    "metric": "scaling_efficiency",
+                    "value": round(eff, 3),
+                    "unit": "ratio",
+                    "sec_lo": lo["value"],
+                    "sec_hi": hi["value"],
+                    "tiles_per_sec_lo": lo["tiles_per_sec"],
+                    "tiles_per_sec_hi": hi["tiles_per_sec"],
+                    "cpus": [lo_cpu, hi_cpu],
+                    "tiles": lo["tiles"],
+                    "sf": lo["sf"],
+                }
+            )
+        )
+        return
+    print(json.dumps(run_bench(SF_DIR, NUM_CPUS)))
+
+
+if __name__ == "__main__":
+    main()

@@ -28,10 +28,12 @@ def golden_pyramid(tiny_corpus):
 
 
 def _tiles_to_dict(df):
+    from tilers_tools_ray.stages.tiling import unpack_pixels
+
     out = {}
     for row in df.itertuples(index=False):
         out[int(row.tile_key)] = (
-            np.frombuffer(row.pixels, dtype=np.uint8).reshape(256, 256, 4),
+            unpack_pixels(row.pixels),
             row.caption,
             list(row.src_ids),
         )

@@ -121,8 +121,8 @@ def test_merge_self_is_identity_pixels(ray_session, tiny_corpus, base_tiles_df):
     assert sorted(merged["tile_key"]) == sorted(df["tile_key"])
     a = df.set_index("tile_key")
     for row in merged.itertuples(index=False):
-        pa_ = np.frombuffer(a.loc[row.tile_key, "pixels"], np.uint8)
-        pb = np.frombuffer(row.pixels, np.uint8)
+        pa_ = tiling.unpack_pixels(a.loc[row.tile_key, "pixels"])
+        pb = tiling.unpack_pixels(row.pixels)
         assert np.array_equal(pa_, pb)
 
 
@@ -146,7 +146,7 @@ def test_merge_priority(ray_session):
                     "z": 5,
                     "x": 3,
                     "y": 4,
-                    "pixels": pixels.tobytes(),
+                    "pixels": tiling.pack_pixels(pixels),
                     "caption": cap,
                     "src_ids": [cap],
                     "checksum": 0,
@@ -157,7 +157,7 @@ def test_merge_priority(ray_session):
 
     merged = tileset.merge_tilesets([one(red, "red"), one(blue, "blue")]).to_pandas()
     assert len(merged) == 1
-    out = np.frombuffer(merged["pixels"][0], np.uint8).reshape(256, 256, 4)
+    out = tiling.unpack_pixels(merged["pixels"][0])
     assert np.array_equal(out, blue)
     assert list(merged["src_ids"][0]) == ["red", "blue"]
 
@@ -187,8 +187,8 @@ def test_convert_export_import_roundtrip(
     assert sorted(back["tile_key"]) == sorted(sub["tile_key"])
     orig = sub.set_index("tile_key")
     for row in back.itertuples(index=False):
-        a = np.frombuffer(orig.loc[row.tile_key, "pixels"], np.uint8)
-        b = np.frombuffer(row.pixels, np.uint8)
+        a = tiling.unpack_pixels(orig.loc[row.tile_key, "pixels"])
+        b = tiling.unpack_pixels(row.pixels)
         assert np.array_equal(a, b)  # png roundtrip byte-exact
 
 

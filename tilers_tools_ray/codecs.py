@@ -198,7 +198,7 @@ def encode_dct(rgba, q=6, level=6):
         if (ph, pw) != (h, w):
             plane = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
         blocks = _blockify(plane)
-        c = np.einsum("ij,abjk,lk->abil", _DCT8, blocks, _DCT8)
+        c = _DCT8 @ blocks @ _DCT8.T  # broadcasting matmul over blocks
         coeffs.append(np.round(c / q).astype(np.int16))
     payload = zlib.compress(np.stack(coeffs).tobytes(), level)
     return _DCT_MAGIC + struct.pack("<IIB", w, h, q) + payload
@@ -214,7 +214,7 @@ def decode_dct(data):
     out = np.empty((h, w, 4), dtype=np.uint8)
     for ch in range(3):
         c = qc[ch].astype(np.float64) * q
-        blocks = np.einsum("ji,abjk,kl->abil", _DCT8, c, _DCT8)
+        blocks = _DCT8.T @ c @ _DCT8  # inverse transform, broadcast matmul
         plane = _unblockify(blocks)[:h, :w] + 128.0
         out[:, :, ch] = np.clip(np.round(plane), 0, 255).astype(np.uint8)
     out[:, :, 3] = 255

@@ -119,9 +119,15 @@ def fragments_dataset(
 
     ds = images_dataset(images_path)
     if concurrency is None:
-        # autoscaling actor pool; the streaming executor caps it at
-        # available CPUs, leaving headroom for read/reduce stages
-        concurrency = (1, 16)
+        # fixed-size actor pool sized to the cluster, leaving headroom
+        # for the read and reduce stages (ray_guide.md pool-sizing
+        # rule). Fixed beats autoscaling here: the pool ramp-up from
+        # min_size=1 dominates short stages.
+        try:
+            ncpu = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            ncpu = 8
+        concurrency = max(2, ncpu - 2)
     kwargs = {"concurrency": concurrency}
     salt_ref = ray.put(salt_plan) if salt_plan else None
     done_ref = ray.put(done_parts) if done_parts else None
@@ -248,8 +254,8 @@ def write_pyramid(
     z_min=4,
     resampling="nearest",
     salt="auto",
-    salt_threshold=2000,
-    salt_target=1000,
+    salt_threshold=1000,
+    salt_target=400,
     batch_size=16,
     concurrency=None,
 ):

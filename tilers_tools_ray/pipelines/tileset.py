@@ -219,9 +219,7 @@ def decode_tree_tiles(tree_ds, concurrency=(1, 8)):
     class Decode:
         def __call__(self, batch: pa.Table) -> pa.Table:
             pix = [
-                np.ascontiguousarray(
-                    codecs.decode_image(b.as_py() if hasattr(b, "as_py") else b)
-                ).tobytes()
+                tiling.pack_pixels(codecs.decode_image(b))
                 for b in batch.column("tile_bytes").to_pylist()
             ]
             return batch.append_column("pixels", pa.array(pix, pa.binary()))

@@ -86,39 +86,39 @@ def base_tiles_for_image(gt, w, h, srs, z):
 # ---------------------------------------------------------------------------
 
 
-def cut_fragment(pixels, gt, srs, cutline, z, x, y, resampling="nearest"):
-    """Render source ``pixels`` (H×W×4 RGBA) into dest tile (z, x, y).
-
-    Returns a 256×256×4 uint8 RGBA fragment (alpha 0 where the tile is
-    not covered / outside the cutline), or None when fully transparent.
-
-    ``cutline`` is an (n, 2) ring in SOURCE PIXEL coords or None
-    (full frame). Resampling: 'nearest' (default, matches the
-    reference's default base resampling [C]) or 'bilinear'.
-    """
-    h, w = pixels.shape[:2]
-    gt = np.asarray(gt, dtype=np.float64)
-    # dest pixel centers → mercator
-    gx = x * TILE + np.arange(TILE, dtype=np.float64) + 0.5
-    gy = y * TILE + np.arange(TILE, dtype=np.float64) + 0.5
-    mgx, mgy = np.meshgrid(gx, gy)  # (256, 256), row-major y, x
-    mx, my = tg.pixel_to_merc(mgx, mgy, z)
-    # mercator → source world units
+def _source_coords(gt, srs, z, gx, gy):
+    """Dest global-pixel indices (1-D cols ``gx``, 1-D rows ``gy``) →
+    source pixel coords (2-D spx, spy) via separable broadcast: the
+    mercator→lonlat conversion is axis-separable and the affine is
+    linear, so no full meshgrid is ever materialized."""
+    n = 1 << int(z)
+    res = 2.0 * tg.ORIGIN / (TILE * n)
+    mx = (np.asarray(gx, dtype=np.float64) + 0.5) * res - tg.ORIGIN
+    my = tg.ORIGIN - (np.asarray(gy, dtype=np.float64) + 0.5) * res
     if srs == "EPSG:4326":
-        wx, wy = tg.merc_to_lonlat(mx, my)
+        wx = np.degrees(mx / tg.EARTH_RADIUS)
+        wy = np.degrees(2.0 * np.arctan(np.exp(my / tg.EARTH_RADIUS)) - np.pi / 2.0)
     else:
         wx, wy = mx, my
-    inv = geo.invert_gt(gt)
-    spx, spy = geo.apply_gt(inv, wx, wy)
-    # sample
+    inv = geo.invert_gt(np.asarray(gt, dtype=np.float64))
+    spx = inv[0] + inv[1] * wx[None, :] + inv[2] * wy[:, None]
+    spy = inv[3] + inv[4] * wx[None, :] + inv[5] * wy[:, None]
+    return spx, spy
+
+
+def _sample(pixels, spx, spy, resampling):
+    """Sample source RGBA at (spx, spy); returns (rgba, inb mask)."""
+    h, w = pixels.shape[:2]
+    out_shape = spx.shape
     if resampling == "nearest":
-        ix = np.floor(spx).astype(np.int64)
-        iy = np.floor(spy).astype(np.int64)
+        ix = np.floor(spx).astype(np.int32)
+        iy = np.floor(spy).astype(np.int32)
         inb = (ix >= 0) & (ix < w) & (iy >= 0) & (iy < h)
-        frag = np.zeros((TILE, TILE, 4), dtype=np.uint8)
-        if inb.any():
-            frag[inb] = pixels[iy[inb], ix[inb]]
-    elif resampling == "bilinear":
+        # clipped gather + mask multiply beats boolean fancy-indexing
+        out = pixels[np.clip(iy, 0, h - 1), np.clip(ix, 0, w - 1)]
+        out *= inb[..., None].astype(np.uint8)
+        return out, inb
+    if resampling == "bilinear":
         fx = spx - 0.5
         fy = spy - 0.5
         x0 = np.floor(fx).astype(np.int64)
@@ -134,21 +134,80 @@ def cut_fragment(pixels, gt, srs, cutline, z, x, y, resampling="nearest"):
         top = p[y0c, x0c] * (1 - ax)[..., None] + p[y0c, x1c] * ax[..., None]
         bot = p[y1c, x0c] * (1 - ax)[..., None] + p[y1c, x1c] * ax[..., None]
         val = top * (1 - ay)[..., None] + bot * ay[..., None]
-        frag = np.zeros((TILE, TILE, 4), dtype=np.uint8)
-        frag[inb] = np.clip(np.round(val[inb]), 0, 255).astype(np.uint8)
-    else:
-        raise ValueError(f"unknown resampling {resampling!r}")
-    # cutline mask in source pixel space, evaluated at sampled positions
-    if cutline is not None:
-        keep = geo.point_in_polygon(spx.ravel(), spy.ravel(), cutline).reshape(
-            TILE, TILE
+        out = np.zeros(out_shape + (4,), dtype=np.uint8)
+        out[inb] = np.clip(np.round(val[inb]), 0, 255).astype(np.uint8)
+        return out, inb
+    raise ValueError(f"unknown resampling {resampling!r}")
+
+
+def _is_full_frame(ring, w, h):
+    """True when the cutline is exactly the full image frame — then the
+    even-odd PIP over the rect equals the in-bounds test and can be
+    skipped entirely (70% of sources in the corpus; the common real
+    case of charts without a neatline)."""
+    if ring is None:
+        return True
+    r = np.asarray(ring, dtype=np.float64)
+    if r.shape != (4, 2):
+        return False
+    expect = np.array([[0, 0], [w, 0], [w, h], [0, h]], dtype=np.float64)
+    return bool(np.array_equal(r, expect))
+
+
+def _apply_mask(frag, spx, spy, cutline, inb, w, h):
+    if _is_full_frame(cutline, w, h):
+        return frag  # nearest _sample already zeroed out-of-bounds
+    # evaluate the PIP only at in-bounds pixels (the rest are zero)
+    flat_inb = inb.ravel()
+    idx = np.flatnonzero(flat_inb)
+    keep = np.zeros(flat_inb.shape, dtype=bool)
+    if len(idx):
+        keep[idx] = geo.point_in_polygon(
+            spx.ravel()[idx], spy.ravel()[idx], cutline
         )
-        frag[~keep] = 0
-    if resampling == "nearest":
-        frag[~inb] = 0
+    frag *= keep.reshape(spx.shape)[..., None].astype(np.uint8)
+    return frag
+
+
+def cut_fragment(pixels, gt, srs, cutline, z, x, y, resampling="nearest"):
+    """Render source ``pixels`` (H×W×4 RGBA) into dest tile (z, x, y).
+
+    Returns a 256×256×4 uint8 RGBA fragment (alpha 0 where the tile is
+    not covered / outside the cutline), or None when fully transparent.
+
+    ``cutline`` is an (n, 2) ring in SOURCE PIXEL coords or None
+    (full frame). Resampling: 'nearest' (default, matches the
+    reference's default base resampling [C]) or 'bilinear'.
+    """
+    h, w = pixels.shape[:2]
+    gx = x * TILE + np.arange(TILE, dtype=np.float64)
+    gy = y * TILE + np.arange(TILE, dtype=np.float64)
+    spx, spy = _source_coords(gt, srs, z, gx, gy)
+    frag, inb = _sample(pixels, spx, spy, resampling)
+    frag = _apply_mask(frag, spx, spy, cutline, inb, w, h)
     if not frag[:, :, 3].any():
         return None
     return frag
+
+
+def warp_image_to_base(pixels, gt, srs, cutline, z, resampling="nearest"):
+    """Warp the WHOLE image once into a tile-aligned dest window at
+    zoom z (gdal_tiler's strategy: warp per map, window per tile [C])
+    and return (tx0, ty0, warped) where ``warped`` is
+    (ny·256, nx·256, 4) uint8 covering tiles [tx0, tx0+nx) × [ty0,
+    ty0+ny). One coordinate transform per image instead of one per
+    overlapped tile."""
+    h, w = pixels.shape[:2]
+    xs, ys = base_tiles_for_image(gt, w, h, srs, z)
+    tx0, tx1 = int(xs.min()), int(xs.max())
+    ty0, ty1 = int(ys.min()), int(ys.max())
+    nx, ny = tx1 - tx0 + 1, ty1 - ty0 + 1
+    gx = tx0 * TILE + np.arange(nx * TILE, dtype=np.float64)
+    gy = ty0 * TILE + np.arange(ny * TILE, dtype=np.float64)
+    spx, spy = _source_coords(gt, srs, z, gx, gy)
+    warped, inb = _sample(pixels, spx, spy, resampling)
+    warped = _apply_mask(warped, spx, spy, cutline, inb, w, h)
+    return tx0, ty0, warped
 
 
 # ---------------------------------------------------------------------------
@@ -211,18 +270,30 @@ def downsample_children(children):
 
 
 def emit_fragments_for_image(
-    pixels, gt, srs, cutline, zooms, resampling="nearest"
+    pixels, gt, srs, cutline, zooms, resampling="nearest", only_tiles=None
 ):
     """Yield (z, x, y, fragment) for every base-zoom tile the image
     covers. ``zooms`` is the list of BASE zooms to cut at (normally one
-    zoom; overview levels are built by reduction, not re-cut)."""
-    h, w = pixels.shape[:2]
+    zoom; overview levels are built by reduction, not re-cut).
+    ``only_tiles``: optional set of (x, y) to restrict emission (the
+    resume filter). Implementation: one whole-image warp per zoom, then
+    256×256 slices — not one transform per tile."""
     for z in zooms:
-        xs, ys = base_tiles_for_image(gt, w, h, srs, z)
-        for x, y in zip(xs.tolist(), ys.tolist()):
-            frag = cut_fragment(pixels, gt, srs, cutline, z, x, y, resampling)
-            if frag is not None:
-                yield z, x, y, frag
+        tx0, ty0, warped = warp_image_to_base(
+            pixels, gt, srs, cutline, z, resampling
+        )
+        ny = warped.shape[0] // TILE
+        nx = warped.shape[1] // TILE
+        for ty in range(ny):
+            for tx in range(nx):
+                x, y = tx0 + tx, ty0 + ty
+                if only_tiles is not None and (x, y) not in only_tiles:
+                    continue
+                frag = warped[
+                    ty * TILE : (ty + 1) * TILE, tx * TILE : (tx + 1) * TILE
+                ]
+                if frag[:, :, 3].any():
+                    yield z, x, y, np.ascontiguousarray(frag)
 
 
 # ---------------------------------------------------------------------------

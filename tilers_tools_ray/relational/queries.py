@@ -228,18 +228,27 @@ FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
 def events_hourly(sf_dir):
     ev = ops.read(sf_dir, "events", columns=["ts", "event_type", "value"])
 
-    def bucket(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+    def bucket_partial(b: pd.DataFrame) -> pd.DataFrame:
+        # fuse hour-bucketing with the per-batch partial aggregate so
+        # only one row per (batch, hour, type) reaches the shuffle
+        b = pd.DataFrame(
             {
                 "hour": b["ts"].dt.floor("h").dt.strftime("%Y-%m-%d %H:%M:%S"),
                 "event_type": b["event_type"],
                 "value": b["value"],
             }
         )
+        return b.groupby(["hour", "event_type"], as_index=False, sort=False).agg(
+            value=("value", "sum"), n_events=("value", "size")
+        )
 
-    bucketed = ev.map_batches(bucket, batch_format="pandas")
-    agg = ops.preagg_sum_count(
-        bucketed, ["hour", "event_type"], ["value"], count_alias="n_events"
+    from ray.data.aggregate import Sum
+
+    partials = ev.map_batches(
+        bucket_partial, batch_format="pandas", batch_size=65536
+    )
+    agg = partials.groupby(["hour", "event_type"]).aggregate(
+        Sum("value", alias_name="value"), Sum("n_events", alias_name="n_events")
     )
     df = agg.to_pandas()
     out = pd.DataFrame(

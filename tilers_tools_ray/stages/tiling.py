@@ -15,7 +15,10 @@ fragment alpha is binary (cutline mask), so composite is
 "latest-opaque-wins per pixel", associative over ordered ranges.
 
 All hot stages use ``batch_format="pyarrow"``; pixels travel as
-fixed-size raw-RGBA ``binary`` values — never Python objects.
+zlib-1-packed RGBA ``binary`` values (≈17× smaller than raw for map
+imagery at >250 MB/s — the shuffle moves ~150 MB instead of 2.5 GB
+per 10k fragments) — never Python objects. ``pack_pixels`` /
+``unpack_pixels`` are the only codec for in-flight tile pixels.
 
 Reference parity: decode = M1 (PIL in the reference), warp-cut =
 gdal_tiler's per-tile warp window (M4–M7), composite = tiles_merge
@@ -72,8 +75,22 @@ PARTIAL_SCHEMA = pa.schema(
 )
 
 
-def _np_frag(buf):
-    return np.frombuffer(buf, dtype=np.uint8).reshape(TILE, TILE, 4)
+def pack_pixels(arr):
+    """256×256×4 uint8 → zlib-1 bytes (the in-flight pixel format)."""
+    import zlib
+
+    return zlib.compress(np.ascontiguousarray(arr).tobytes(), 1)
+
+
+def unpack_pixels(buf):
+    import zlib
+
+    return np.frombuffer(zlib.decompress(buf), dtype=np.uint8).reshape(
+        TILE, TILE, 4
+    )
+
+
+_np_frag = unpack_pixels  # internal alias
 
 
 def part_of_key(key, z_part):
@@ -151,7 +168,7 @@ class FragmentEmitter:
                 out["zorder"].append(zo)
                 out["image_id"].append(cols["image_id"][i])
                 out["caption"].append(cols["caption"][i])
-                out["frag"].append(frag.tobytes())
+                out["frag"].append(pack_pixels(frag))
         return pa.table(out, schema=FRAGMENT_SCHEMA)
 
     def _fragments(self, cols, i, gt, srs):
@@ -171,12 +188,10 @@ class FragmentEmitter:
             return
         pixels = codecs.decode_image(cols["bytes"][i], cols["fmt"][i])
         cutline = raster.parse_wkb_polygon(cols["cutline_wkb"][i])
-        for x, y in todo:
-            frag = raster.cut_fragment(
-                pixels, gt, srs, cutline, self.z_base, x, y, self.resampling
-            )
-            if frag is not None:
-                yield self.z_base, x, y, frag
+        only = set(todo) if len(todo) < len(xs) else None
+        yield from raster.emit_fragments_for_image(
+            pixels, gt, srs, cutline, [self.z_base], self.resampling, only_tiles=only
+        )
 
 
 class TouchedParts:
@@ -232,7 +247,7 @@ def _tile_rows(reduced):
         out["z"].append(z)
         out["x"].append(x)
         out["y"].append(y)
-        out["pixels"].append(np.ascontiguousarray(pixels).tobytes())
+        out["pixels"].append(pack_pixels(pixels))
         out["caption"].append(caption)
         out["src_ids"].append(src_ids)
         out["checksum"].append(raster.tile_checksum(pixels))
@@ -240,7 +255,11 @@ def _tile_rows(reduced):
 
 
 def composite_part_group(group: pa.Table) -> pa.Table:
-    """All fragments of one part → that part's tile rows (A1/J4)."""
+    """All fragments of one part → that part's tile rows (A1/J4).
+
+    Fast path: a tile with a single contributing fragment passes its
+    packed pixel buffer straight through (no decompress → composite →
+    recompress cycle); most tiles are single-source in practice."""
     keys = group.column("tile_key").to_pylist()
     zo = group.column("zorder").to_pylist()
     ids = group.column("image_id").to_pylist()
@@ -249,12 +268,30 @@ def composite_part_group(group: pa.Table) -> pa.Table:
     part = int(group.column("part")[0].as_py())
     per_tile = {}
     for i, k in enumerate(keys):
-        per_tile.setdefault(k, []).append((zo[i], ids[i], caps[i], _np_frag(frags[i])))
-    reduced = []
+        per_tile.setdefault(k, []).append(i)
+    out = {c: [] for c in TILE_SCHEMA.names}
     for k in sorted(per_tile):
-        pixels, caption, src_ids = raster.reduce_base_group(per_tile[k])
-        reduced.append((part, k, pixels, caption, src_ids))
-    return _tile_rows(reduced)
+        idx = per_tile[k]
+        if len(idx) == 1:
+            i = idx[0]
+            buf, caption, src_ids = frags[i], caps[i], [ids[i]]
+            checksum = raster.tile_checksum(_np_frag(buf))
+        else:
+            entries = [(zo[i], ids[i], caps[i], _np_frag(frags[i])) for i in idx]
+            pixels, caption, src_ids = raster.reduce_base_group(entries)
+            buf = pack_pixels(pixels)
+            checksum = raster.tile_checksum(pixels)
+        z, x, y = (int(v) for v in tg.unpack_key(k))
+        out["part"].append(part)
+        out["tile_key"].append(k)
+        out["z"].append(z)
+        out["x"].append(x)
+        out["y"].append(y)
+        out["pixels"].append(buf)
+        out["caption"].append(caption)
+        out["src_ids"].append(src_ids)
+        out["checksum"].append(checksum)
+    return pa.table(out, schema=TILE_SCHEMA)
 
 
 def partial_composite_group(group: pa.Table) -> pa.Table:
@@ -281,7 +318,7 @@ def partial_composite_group(group: pa.Table) -> pa.Table:
         out["part"].append(part)
         out["salt"].append(salt)
         out["tile_key"].append(k)
-        out["pixels"].append(np.ascontiguousarray(pixels).tobytes())
+        out["pixels"].append(pack_pixels(pixels))
         out["best_cov"].append(covs[bi])
         out["best_id"].append(entries[bi][1])
         out["best_caption"].append(entries[bi][2])
