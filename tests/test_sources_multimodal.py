@@ -1,0 +1,129 @@
+"""Tests: SQLite tile-DB roundtrip, multimodal stages, KML reader."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from tilers_tools_ray import codecs
+from tilers_tools_ray.sources import tiledb
+from tilers_tools_ray.stages import georef, multimodal, tiling
+
+
+def _tiles_ds(n=12):
+    import ray.data as rd
+
+    from tilers_tools_ray import tilegrid as tg
+
+    items = []
+    rng = np.random.default_rng(5)
+    for i in range(n):
+        px = rng.integers(0, 256, (256, 256, 4)).astype(np.uint8)
+        px[:, :, 3] = 255
+        z, x, y = 6, 10 + i, 20
+        items.append(
+            {
+                "tile_key": int(tg.pack_key(z, x, y)),
+                "z": z,
+                "x": x,
+                "y": y,
+                "pixels": tiling.pack_pixels(px),
+                "caption": f"t{i}",
+                "src_ids": [f"img-{i}"],
+                "checksum": 0,
+                "part": 0,
+            }
+        )
+    return rd.from_items(items)
+
+
+def test_sqlite_roundtrip(ray_session, tmp_path):
+    ds = _tiles_ds()
+    db = str(tmp_path / "tiles.db")
+    n = tiledb.export_sqlite(ds, db, fmt="png")
+    assert n == 12
+    back = tiledb.read_sqlite(db)
+    df = back.to_pandas()
+    assert sorted(df["tile_key"]) == sorted(ds.to_pandas()["tile_key"])
+    orig = {
+        r["tile_key"]: tiling.unpack_pixels(r["pixels"]) for r in ds.take_all()
+    }
+    for row in df.itertuples(index=False):
+        px = codecs.decode_image(row.tile_bytes, row.fmt)
+        assert np.array_equal(px, orig[row.tile_key])
+
+
+def _images_batch(n=6):
+    rows = {"image_id": [], "bytes": [], "fmt": []}
+    rng = np.random.default_rng(9)
+    for i in range(n):
+        px = rng.integers(0, 256, (128, 96, 4)).astype(np.uint8)
+        px[:, :, 3] = 255
+        rows["image_id"].append(f"img-{i}")
+        rows["bytes"].append(codecs.encode_image(px, "png"))
+        rows["fmt"].append("png")
+    return pa.table(rows)
+
+
+def test_resize_images_stage():
+    out = multimodal.ResizeImages(out_w=32, out_h=32)( _images_batch())
+    assert out.num_rows == 6
+    for b in out.column("bytes").to_pylist():
+        px = codecs.decode_image(b)
+        assert px.shape == (32, 32, 4)
+
+
+def test_image_features_stage():
+    out = multimodal.ImageFeatures()(_images_batch())
+    feats = out.column("features").to_pylist()
+    assert all(len(f) == 6 for f in feats)
+    assert all(0.0 <= v <= 1.0 for f in feats for v in f)
+
+
+def test_audio_stub_contract():
+    batch = pa.table(
+        {
+            "clip_id": ["a", "b"],
+            "bytes": [b"\x01\x02payload", b"\x03other"],
+        }
+    )
+    out = multimodal.AudioFeatures(fake=True)(batch)
+    out2 = multimodal.AudioFeatures(fake=True)(batch)
+    assert out.equals(out2)  # deterministic fake decode
+    with pytest.raises(NotImplementedError):
+        multimodal.AudioFeatures(fake=False)(batch)
+
+
+def test_video_stub_contract():
+    batch = pa.table({"video_id": ["v1"], "bytes": [b"\x09vid"]})
+    out = multimodal.VideoFrameSample(every_n_frames=60, fake=True)(batch)
+    assert out.num_rows >= 1
+    assert out.column("frame_idx").to_pylist()[0] == 0
+    with pytest.raises(NotImplementedError):
+        multimodal.VideoFrameSample(fake=False)(batch)
+
+
+KML = """<?xml version="1.0"?>
+<kml><GroundOverlay><name>chart-1</name>
+<!-- size 400x300 -->
+<LatLonBox>
+  <north>50.5</north><south>49.25</south>
+  <east>9.75</east><west>8.0</west><rotation>0</rotation>
+</LatLonBox></GroundOverlay></kml>"""
+
+
+def test_kml_reader_and_registry():
+    gt, srs, ring, datum = georef.parse_georef_any(KML)
+    assert srs == "EPSG:4326"
+    import numpy as np
+
+    from tilers_tools_ray import geometry as geo
+
+    # corner pixel (0,0) → (west, north); (400,300) → (east, south)
+    wx, wy = geo.apply_gt(gt, np.array([0.0, 400.0]), np.array([0.0, 300.0]))
+    np.testing.assert_allclose(wx, [8.0, 9.75], atol=1e-9)
+    np.testing.assert_allclose(wy, [50.5, 49.25], atol=1e-9)
+    assert georef.sniff_format("OziExplorer Map Data File Version 2.2\n") == "ozi"
+    with pytest.raises(ValueError):
+        georef.sniff_format("garbage")
+    with pytest.raises(ValueError):
+        georef.parse_kml_groundoverlay("<LatLonBox><north>1</north></LatLonBox>")

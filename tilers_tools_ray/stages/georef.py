@@ -58,13 +58,68 @@ def parse_georef_text(text):
     return gt, srs, np.array(ring, dtype=np.float64), datum
 
 
+_KML_BOX_RE = re.compile(
+    r"<(north|south|east|west|rotation)>\s*([-\d.eE]+)\s*</\1>"
+)
+_KML_NAME_RE = re.compile(r"<name>\s*([^<]+?)\s*</name>")
+_KML_SIZE_RE = re.compile(r"<!--\s*size\s+(\d+)x(\d+)\s*-->")
+
+
+def parse_kml_groundoverlay(text):
+    """KML GroundOverlay reader (reader_kml.py equivalent, S5 [R]):
+    ``<LatLonBox>`` north/south/east/west (+rotation, must be 0 here)
+    → corner GCPs → affine in EPSG:4326. The pixel size comes from a
+    ``<!-- size WxH -->`` annotation (the reference reads it from the
+    image file; payloads here are opaque to the parser)."""
+    vals = {m.group(1): float(m.group(2)) for m in _KML_BOX_RE.finditer(text)}
+    for k in ("north", "south", "east", "west"):
+        if k not in vals:
+            raise ValueError(f"KML GroundOverlay missing <{k}>")
+    if vals.get("rotation", 0.0) != 0.0:
+        raise ValueError("rotated GroundOverlay not supported")
+    m = _KML_SIZE_RE.search(text)
+    if not m:
+        raise ValueError("missing size annotation")
+    w, h = int(m.group(1)), int(m.group(2))
+    # corners: pixel (0,0)=NW, (w,0)=NE, (w,h)=SE, (0,h)=SW
+    px = np.array([0.0, w, w, 0.0])
+    py = np.array([0.0, 0.0, h, h])
+    wx = np.array([vals["west"], vals["east"], vals["east"], vals["west"]])
+    wy = np.array([vals["north"], vals["north"], vals["south"], vals["south"]])
+    gt = geo.solve_affine(px, py, wx, wy)
+    ring = np.array([[0, 0], [w, 0], [w, h], [0, h]], dtype=np.float64)
+    return gt, "EPSG:4326", ring, "WGS 84"
+
+
+#: reader registry keyed by sidecar format — the engine's equivalent of
+#: the reference's reader_*.py dispatch (map2gdal format sniffing,
+#: SURVEY.md §2.10 extension point a). New formats plug in here; the
+#: Ray topology never changes.
+GEOREF_PARSERS = {
+    "ozi": parse_georef_text,
+    "kml": parse_kml_groundoverlay,
+}
+
+
+def sniff_format(text):
+    if text.lstrip().startswith("OziExplorer Map Data File"):
+        return "ozi"
+    if "<GroundOverlay" in text or "<LatLonBox" in text:
+        return "kml"
+    raise ValueError("unrecognized georef sidecar format")
+
+
+def parse_georef_any(text):
+    return GEOREF_PARSERS[sniff_format(text)](text)
+
+
 def parse_georef_batch(batch: pa.Table) -> pa.Table:
     """images rows (image_id, georef_text) → parsed georef columns."""
     ids = batch.column("image_id").to_pylist()
     texts = batch.column("georef_text").to_pylist()
     gts, srss, cuts, datums = [], [], [], []
     for t in texts:
-        gt, srs, ring, datum = parse_georef_text(t)
+        gt, srs, ring, datum = parse_georef_any(t)
         gts.append(gt.tolist())
         srss.append(srs)
         cuts.append(raster.wkb_polygon(ring))
