@@ -229,6 +229,45 @@ def decode_tree_tiles(tree_ds, concurrency=(1, 8)):
     )
 
 
+def filter_zoom(tiles_ds, zoom_spec):
+    """M8: ``--zoom=8:12,15``-style selection, vectorized per batch."""
+    zooms = np.array(tg.parse_zoom_spec(zoom_spec), dtype=np.int64)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        z = batch.column("z").to_numpy().astype(np.int64)
+        return batch.filter(pa.array(np.isin(z, zooms)))
+
+    return tiles_ds.map_batches(keep, batch_format="pyarrow")
+
+
+def distinct_zooms(tiles_ds):
+    """D4: the zoom levels present (small distinct shuffle)."""
+    return sorted(tiles_ds.unique("z"))
+
+
+def transcode_tiles(tree_ds, to_fmt, concurrency=(1, 8)):
+    """tiles_convert's format re-encode: tile_bytes → ``to_fmt``.
+    Stateless per-row codec work in an actor pool (M1+M2)."""
+
+    class Transcode:
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            blobs = [
+                codecs.encode_image(codecs.decode_image(b), to_fmt)
+                for b in batch.column("tile_bytes").to_pylist()
+            ]
+            batch = batch.drop_columns(["tile_bytes", "fmt"])
+            batch = batch.append_column(
+                "tile_bytes", pa.array(blobs, pa.binary())
+            )
+            return batch.append_column(
+                "fmt", pa.array([to_fmt] * batch.num_rows, pa.string())
+            )
+
+    return tree_ds.map_batches(
+        Transcode, batch_format="pyarrow", batch_size=64, concurrency=concurrency
+    )
+
+
 def tileset_stats(tiles_ds):
     """A3: per-zoom tile count + x/y extent aggregate (one small
     shuffle over tiny grouped rows)."""

@@ -190,24 +190,46 @@ def cut_fragment(pixels, gt, srs, cutline, z, x, y, resampling="nearest"):
     return frag
 
 
+def dest_pixel_window(gt, w, h, srs, z, margin=2):
+    """Global dest-pixel bbox [gx0, gx1) × [gy0, gy1) that bounds the
+    image footprint at zoom z, from 65-point sampling of each source
+    edge (+``margin`` px). Exact for affine sources (corners bound the
+    parallelogram); the sampling covers the mild edge curvature of
+    EPSG:4326 sources."""
+    t = np.linspace(0.0, 1.0, 65)
+    edge_px = np.concatenate([t * w, np.full(65, float(w)), (1 - t) * w, np.zeros(65)])
+    edge_py = np.concatenate([np.zeros(65), t * h, np.full(65, float(h)), (1 - t) * h])
+    wx, wy = geo.apply_gt(np.asarray(gt, dtype=np.float64), edge_px, edge_py)
+    if srs == "EPSG:4326":
+        wx, wy = tg.lonlat_to_merc(wx, wy)
+    dpx, dpy = tg.merc_to_pixel(wx, wy, z)
+    world = TILE * (1 << int(z))
+    gx0 = int(np.clip(np.floor(dpx.min()) - margin, 0, world))
+    gx1 = int(np.clip(np.ceil(dpx.max()) + margin, 0, world))
+    gy0 = int(np.clip(np.floor(dpy.min()) - margin, 0, world))
+    gy1 = int(np.clip(np.ceil(dpy.max()) + margin, 0, world))
+    return gx0, gx1, gy0, gy1
+
+
 def warp_image_to_base(pixels, gt, srs, cutline, z, resampling="nearest"):
-    """Warp the WHOLE image once into a tile-aligned dest window at
-    zoom z (gdal_tiler's strategy: warp per map, window per tile [C])
-    and return (tx0, ty0, warped) where ``warped`` is
-    (ny·256, nx·256, 4) uint8 covering tiles [tx0, tx0+nx) × [ty0,
-    ty0+ny). One coordinate transform per image instead of one per
-    overlapped tile."""
+    """Warp the WHOLE image once into its dest-pixel window at zoom z
+    (gdal_tiler's strategy: warp per map, window per tile [C]).
+
+    Returns (gx0, gy0, warped): ``warped`` covers global dest pixels
+    [gx0, gx0+W) × [gy0, gy0+H) — the tight footprint window, NOT the
+    tile-aligned bbox (tiles only partially covered are zero-padded at
+    slice time). One coordinate transform per image, sized to the
+    pixels the image can actually touch."""
     h, w = pixels.shape[:2]
-    xs, ys = base_tiles_for_image(gt, w, h, srs, z)
-    tx0, tx1 = int(xs.min()), int(xs.max())
-    ty0, ty1 = int(ys.min()), int(ys.max())
-    nx, ny = tx1 - tx0 + 1, ty1 - ty0 + 1
-    gx = tx0 * TILE + np.arange(nx * TILE, dtype=np.float64)
-    gy = ty0 * TILE + np.arange(ny * TILE, dtype=np.float64)
+    gx0, gx1, gy0, gy1 = dest_pixel_window(gt, w, h, srs, z)
+    if gx1 <= gx0 or gy1 <= gy0:
+        return gx0, gy0, np.zeros((0, 0, 4), dtype=np.uint8)
+    gx = np.arange(gx0, gx1, dtype=np.float64)
+    gy = np.arange(gy0, gy1, dtype=np.float64)
     spx, spy = _source_coords(gt, srs, z, gx, gy)
     warped, inb = _sample(pixels, spx, spy, resampling)
     warped = _apply_mask(warped, spx, spy, cutline, inb, w, h)
-    return tx0, ty0, warped
+    return gx0, gy0, warped
 
 
 # ---------------------------------------------------------------------------
@@ -233,10 +255,20 @@ def composite_over(dst, src):
 def composite_fragments(frags):
     """Composite fragments (list of H×W×4 uint8, ALREADY sorted by
     ascending z-order) — later entries paint over earlier ones.
-    Matches tiles_merge CLI-order semantics [C]."""
+    Matches tiles_merge CLI-order semantics [C].
+
+    Fast path: when the source alpha is binary (0/255 — always true
+    for cutline-masked nearest-sampled fragments), OVER degenerates to
+    a mask copy, which is both ~10× faster and exactly associative
+    (the salting invariant, SURVEY.md §7.6)."""
     out = frags[0].copy()
     for f in frags[1:]:
-        composite_over(out, f)
+        a = f[:, :, 3]
+        if ((a == 0) | (a == 255)).all():
+            m = a == 255
+            out[m] = f[m]
+        else:
+            composite_over(out, f)
     return out
 
 
@@ -276,24 +308,35 @@ def emit_fragments_for_image(
     covers. ``zooms`` is the list of BASE zooms to cut at (normally one
     zoom; overview levels are built by reduction, not re-cut).
     ``only_tiles``: optional set of (x, y) to restrict emission (the
-    resume filter). Implementation: one whole-image warp per zoom, then
-    256×256 slices — not one transform per tile."""
+    resume filter). Implementation: one whole-image warp per zoom over
+    the tight footprint window, then zero-padded 256×256 slices — not
+    one transform per tile."""
     for z in zooms:
-        tx0, ty0, warped = warp_image_to_base(
+        gx0, gy0, warped = warp_image_to_base(
             pixels, gt, srs, cutline, z, resampling
         )
-        ny = warped.shape[0] // TILE
-        nx = warped.shape[1] // TILE
-        for ty in range(ny):
-            for tx in range(nx):
-                x, y = tx0 + tx, ty0 + ty
+        hh, ww = warped.shape[:2]
+        if hh == 0 or ww == 0:
+            continue
+        tx0, tx1 = gx0 // TILE, (gx0 + ww - 1) // TILE
+        ty0, ty1 = gy0 // TILE, (gy0 + hh - 1) // TILE
+        for y in range(ty0, ty1 + 1):
+            for x in range(tx0, tx1 + 1):
                 if only_tiles is not None and (x, y) not in only_tiles:
                     continue
-                frag = warped[
-                    ty * TILE : (ty + 1) * TILE, tx * TILE : (tx + 1) * TILE
-                ]
-                if frag[:, :, 3].any():
-                    yield z, x, y, np.ascontiguousarray(frag)
+                # warped-window slice for this tile + zero padding
+                wy0 = max(y * TILE - gy0, 0)
+                wy1 = min((y + 1) * TILE - gy0, hh)
+                wx0 = max(x * TILE - gx0, 0)
+                wx1 = min((x + 1) * TILE - gx0, ww)
+                sub = warped[wy0:wy1, wx0:wx1]
+                if not sub[:, :, 3].any():
+                    continue
+                frag = np.zeros((TILE, TILE, 4), dtype=np.uint8)
+                oy = wy0 + gy0 - y * TILE
+                ox = wx0 + gx0 - x * TILE
+                frag[oy : oy + sub.shape[0], ox : ox + sub.shape[1]] = sub
+                yield z, x, y, frag
 
 
 # ---------------------------------------------------------------------------

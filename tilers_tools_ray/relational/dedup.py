@@ -86,26 +86,25 @@ def minhash_lsh_pairs(
             {"band": out_band, "band_hash": out_hash, "doc_id": out_doc}
         )
 
-    buckets = sigs.map_batches(explode, batch_format="pandas")
-
-    def pairs(group: pd.DataFrame) -> pd.DataFrame:
-        docs = sorted(group["doc_id"].unique())
-        if len(docs) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": []})
-        a, b = [], []
+    # bucket table = one small row per (doc, band); candidate-pair
+    # generation runs driver-side in vectorized pandas (per-group
+    # Python map_groups costs ~1 ms/group — pathological at 80k
+    # buckets). At larger-than-driver scale, swap for a groupby
+    # keyed on (band, band_hash) with the same pair kernel.
+    buckets = sigs.map_batches(explode, batch_format="pandas").to_pandas()
+    nun = buckets.groupby(["band", "band_hash"])["doc_id"].transform("nunique")
+    multi = buckets[nun > 1]
+    rows = []
+    for (_, _), g in multi.groupby(["band", "band_hash"]):
+        docs = sorted(g["doc_id"].unique())
         for i in range(len(docs)):
             for j in range(i + 1, len(docs)):
-                a.append(docs[i])
-                b.append(docs[j])
-        return pd.DataFrame({"doc_a": a, "doc_b": b})
-
-    cand = buckets.groupby(["band", "band_hash"]).map_groups(
-        pairs, batch_format="pandas"
-    )
-    cand_df = cand.to_pandas()
-    if len(cand_df) == 0:
+                rows.append((docs[i], docs[j]))
+    if not rows:
         return pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []})
-    cand_df = cand_df.drop_duplicates(["doc_a", "doc_b"])
+    cand_df = pd.DataFrame(rows, columns=["doc_a", "doc_b"]).drop_duplicates(
+        ["doc_a", "doc_b"]
+    )
     texts = {
         r["doc_id"]: r["text"]
         for r in docs_ds.select_columns(["doc_id", "text"]).take_all()
@@ -144,13 +143,14 @@ def simhash_pairs(docs_ds, *, max_hamming=3, concurrency=(1, 8)):
             )
         return pd.concat(rows, ignore_index=True)
 
-    buckets = sigs.map_batches(explode, batch_format="pandas")
-
-    def pairs(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.drop_duplicates("doc_id").sort_values("doc_id")
+    buckets = sigs.map_batches(explode, batch_format="pandas").to_pandas()
+    a, b, d = [], [], []
+    for (_, _), g in buckets.groupby(["band", "band_hash"]):
+        g = g.drop_duplicates("doc_id").sort_values("doc_id")
+        if len(g) < 2:
+            continue
         docs = g["doc_id"].to_numpy()
         hs = g["simhash"].to_numpy(dtype=np.int64)
-        a, b, d = [], [], []
         for i in range(len(docs)):
             x = np.uint64(hs[i])
             for j in range(i + 1, len(docs)):
@@ -159,14 +159,9 @@ def simhash_pairs(docs_ds, *, max_hamming=3, concurrency=(1, 8)):
                     a.append(docs[i])
                     b.append(docs[j])
                     d.append(ham)
-        return pd.DataFrame({"doc_a": a, "doc_b": b, "hamming": d})
-
-    out = buckets.groupby(["band", "band_hash"]).map_groups(
-        pairs, batch_format="pandas"
-    )
-    df = out.to_pandas()
+    df = pd.DataFrame({"doc_a": a, "doc_b": b, "hamming": d})
     if len(df) == 0:
-        return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []})
+        return df
     return (
         df.drop_duplicates(["doc_a", "doc_b"])
         .sort_values(["doc_a", "doc_b"])

@@ -45,13 +45,12 @@ def q1_pricing_summary(sf_dir):
         return b
 
     ds = ds.map_batches(enrich, batch_format="pandas")
-    agg = ops.preagg_sum_count(
+    df = ops.preagg_sum_count_df(
         ds,
         ["l_returnflag", "l_linestatus"],
         ["l_quantity", "l_extendedprice", "disc_price"],
         count_alias="count_order",
     )
-    df = agg.to_pandas()
     out = pd.DataFrame(
         {
             "l_returnflag": df["l_returnflag"],
@@ -78,38 +77,56 @@ FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2
 
 
 def q3_top_revenue_orders(sf_dir):
+    """Broadcast SEMI-join shape (ray_guide.md): the BUILDING-segment
+    order-key set is small → ship it once, filter lineitem per batch,
+    pre-aggregate revenue per order; no all-to-all exchange at all."""
+    import ray
+
     cust = ops.read_pandas(
         sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]
     )
-    keys = cust.loc[cust["c_mktsegment"] == "BUILDING", ["c_custkey"]].rename(
-        columns={"c_custkey": "o_custkey"}
-    )
+    ckeys = set(cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"])
     orders = ops.read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
-    orders_b = ops.broadcast_join(orders, keys, on="o_custkey", how="inner")
+    okeys = np.sort(
+        orders.map_batches(
+            lambda b, _ck=ckeys: b[b["o_custkey"].isin(_ck)][["o_orderkey"]],
+            batch_format="pandas",
+        )
+        .to_pandas()["o_orderkey"]
+        .to_numpy()
+    )
+    okeys_ref = ray.put(okeys)
     li = ops.read(
         sf_dir,
         "lineitem",
         columns=["l_orderkey", "l_extendedprice", "l_discount"],
     )
 
-    def rev(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "l_orderkey": b["l_orderkey"],
-                "revenue": b["l_extendedprice"] * (1 - b["l_discount"]),
-            }
-        )
+    class SemiRevenue:
+        def __init__(self):
+            self.keys = ray.get(okeys_ref)
 
-    li = li.map_batches(rev, batch_format="pandas")
-    joined = ops.hash_join(
-        li,
-        orders_b.select_columns(["o_orderkey"]),
-        on="l_orderkey",
-        right_on="o_orderkey",
-        num_partitions=16,
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            idx = np.searchsorted(self.keys, b["l_orderkey"].to_numpy())
+            idx = np.clip(idx, 0, len(self.keys) - 1)
+            hit = self.keys[idx] == b["l_orderkey"].to_numpy()
+            b = b[hit]
+            out = pd.DataFrame(
+                {
+                    "l_orderkey": b["l_orderkey"],
+                    "revenue": b["l_extendedprice"] * (1 - b["l_discount"]),
+                }
+            )
+            return out.groupby("l_orderkey", as_index=False).agg(
+                revenue=("revenue", "sum")
+            )
+
+    partials = li.map_batches(
+        SemiRevenue, batch_format="pandas", batch_size=131072, concurrency=(1, 8)
+    ).to_pandas()
+    df = partials.groupby("l_orderkey", as_index=False).agg(
+        revenue=("revenue", "sum")
     )
-    agg = ops.preagg_sum_count(joined, ["l_orderkey"], ["revenue"])
-    df = agg.to_pandas()
     df["revenue"] = df["revenue"].round(2)
     df = df.sort_values(["revenue", "l_orderkey"], ascending=[False, True]).head(10)
     return pd.DataFrame(
@@ -155,8 +172,9 @@ def q5_nation_revenue(sf_dir):
         right_on="o_orderkey",
         num_partitions=16,
     )
-    agg = ops.preagg_sum_count(joined, ["n_name"], ["revenue"], count_alias="n_items")
-    df = agg.to_pandas()
+    df = ops.preagg_sum_count_df(
+        joined, ["n_name"], ["revenue"], count_alias="n_items"
+    )
     out = pd.DataFrame(
         {
             "n_name": df["n_name"],
@@ -242,15 +260,12 @@ def events_hourly(sf_dir):
             value=("value", "sum"), n_events=("value", "size")
         )
 
-    from ray.data.aggregate import Sum
-
     partials = ev.map_batches(
         bucket_partial, batch_format="pandas", batch_size=65536
+    ).to_pandas()
+    df = partials.groupby(["hour", "event_type"], as_index=False).agg(
+        value=("value", "sum"), n_events=("n_events", "sum")
     )
-    agg = partials.groupby(["hour", "event_type"]).aggregate(
-        Sum("value", alias_name="value"), Sum("n_events", alias_name="n_events")
-    )
-    df = agg.to_pandas()
     out = pd.DataFrame(
         {
             "hour": df["hour"],
@@ -277,10 +292,9 @@ def brand_volume(sf_dir):
     )
     li = ops.read(sf_dir, "lineitem", columns=["l_partkey", "l_quantity"])
     joined = ops.broadcast_join(li, part, on="l_partkey", how="inner")
-    agg = ops.preagg_sum_count(
+    df = ops.preagg_sum_count_df(
         joined, ["p_brand"], ["l_quantity"], count_alias="n_items"
     )
-    df = agg.to_pandas()
     out = pd.DataFrame(
         {
             "p_brand": df["p_brand"],

@@ -340,14 +340,32 @@ def merge_partials_group(group: pa.Table) -> pa.Table:
     per_tile = {}
     for i, k in enumerate(keys):
         per_tile.setdefault(k, []).append(i)
-    reduced = []
+    out = {c: [] for c in TILE_SCHEMA.names}
     for k in sorted(per_tile):
         idx = sorted(per_tile[k], key=lambda i: salts[i])
-        pixels = raster.composite_fragments([_np_frag(pix[i]) for i in idx])
-        bi = max(idx, key=lambda i: (covs[i], raster._neg_id(bids[i])))
-        src_ids = [s for i in idx for s in srcs[i]]
-        reduced.append((part, k, pixels, bcaps[bi], src_ids))
-    return _tile_rows(reduced)
+        if len(idx) == 1:
+            # single partial (unsalted part) → pass the buffer through
+            i = idx[0]
+            buf, caption, src_ids = pix[i], bcaps[i], list(srcs[i])
+            checksum = raster.tile_checksum(_np_frag(buf))
+        else:
+            pixels = raster.composite_fragments([_np_frag(pix[i]) for i in idx])
+            bi = max(idx, key=lambda i: (covs[i], raster._neg_id(bids[i])))
+            buf = pack_pixels(pixels)
+            caption = bcaps[bi]
+            src_ids = [s for i in idx for s in srcs[i]]
+            checksum = raster.tile_checksum(pixels)
+        z, x, y = (int(v) for v in tg.unpack_key(k))
+        out["part"].append(part)
+        out["tile_key"].append(k)
+        out["z"].append(z)
+        out["x"].append(x)
+        out["y"].append(y)
+        out["pixels"].append(buf)
+        out["caption"].append(caption)
+        out["src_ids"].append(src_ids)
+        out["checksum"].append(checksum)
+    return pa.table(out, schema=TILE_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
