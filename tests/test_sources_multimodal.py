@@ -111,6 +111,32 @@ KML = """<?xml version="1.0"?>
 </LatLonBox></GroundOverlay></kml>"""
 
 
+BSB = """KNP/SC=25000,GD=WGS 84,PR=MERCATOR
+REF/1,0,0,50.0,8.0
+REF/2,400,0,50.0,9.0
+REF/3,400,300,49.5,9.0
+REF/4,0,300,49.5,8.0
+PLY/1,10,10
+PLY/2,390,10
+PLY/3,390,290
+PLY/4,10,290
+"""
+
+
+def test_bsb_reader():
+    gt, srs, ring, datum = georef.parse_georef_any(BSB)
+    assert srs == "EPSG:4326" and datum == "WGS 84"
+    from tilers_tools_ray import geometry as geo
+
+    wx, wy = geo.apply_gt(gt, np.array([0.0, 400.0]), np.array([0.0, 300.0]))
+    np.testing.assert_allclose(wx, [8.0, 9.0], atol=1e-9)
+    np.testing.assert_allclose(wy, [50.0, 49.5], atol=1e-9)
+    assert ring.shape == (4, 2)
+    assert georef.sniff_format(BSB) == "bsb"
+    with pytest.raises(ValueError):
+        georef.parse_bsb_header("KNP/GD=MARS\nREF/1,0,0,1,1\nREF/2,1,0,1,2\nREF/3,1,1,2,2")
+
+
 def test_kml_reader_and_registry():
     gt, srs, ring, datum = georef.parse_georef_any(KML)
     assert srs == "EPSG:4326"

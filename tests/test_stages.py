@@ -199,3 +199,13 @@ def test_tileset_stats(ray_session, base_tiles_df):
     assert int(stats["n_tiles"][0]) == len(df)
     assert int(stats["min_x"][0]) == df["x"].min()
     assert int(stats["max_y"][0]) == df["y"].max()
+
+
+def test_tile_bounds_table(ray_session, base_tiles_df):
+    from tilers_tools_ray import tilegrid as tg
+
+    z_base, ds, df = base_tiles_df
+    out = tileset.tile_bounds_table(ds).to_pandas().head(10)
+    for row in out.itertuples(index=False):
+        minx, miny, maxx, maxy = tg.tile_bounds_merc(row.z, row.x, row.y)
+        assert abs(row.minx - minx) < 1e-6 and abs(row.maxy - maxy) < 1e-6

@@ -229,6 +229,32 @@ def decode_tree_tiles(tree_ds, concurrency=(1, 8)):
     )
 
 
+def tile_bounds_table(tiles_ds):
+    """raster→vector: add each tile's mercator bounds (minx, miny,
+    maxx, maxy) as columns — the vector footprint of the raster grid
+    (used for coverage reports and joins back onto polygon tables)."""
+
+    def bounds(batch: pa.Table) -> pa.Table:
+        z = batch.column("z").to_numpy().astype(np.int64)
+        x = batch.column("x").to_numpy().astype(np.int64)
+        y = batch.column("y").to_numpy().astype(np.int64)
+        res = 2.0 * tg.ORIGIN / (tg.TILE_SIZE * np.exp2(z.astype(np.float64)))
+        minx = x * tg.TILE_SIZE * res - tg.ORIGIN
+        maxx = (x + 1) * tg.TILE_SIZE * res - tg.ORIGIN
+        maxy = tg.ORIGIN - y * tg.TILE_SIZE * res
+        miny = tg.ORIGIN - (y + 1) * tg.TILE_SIZE * res
+        for name, arr in (
+            ("minx", minx),
+            ("miny", miny),
+            ("maxx", maxx),
+            ("maxy", maxy),
+        ):
+            batch = batch.append_column(name, pa.array(arr, pa.float64()))
+        return batch
+
+    return tiles_ds.map_batches(bounds, batch_format="pyarrow")
+
+
 def filter_zoom(tiles_ds, zoom_spec):
     """M8: ``--zoom=8:12,15``-style selection, vectorized per batch."""
     zooms = np.array(tg.parse_zoom_spec(zoom_spec), dtype=np.int64)

@@ -91,6 +91,47 @@ def parse_kml_groundoverlay(text):
     return gt, "EPSG:4326", ring, "WGS 84"
 
 
+_BSB_REF_RE = re.compile(
+    r"^REF/\d+,([-\d.]+),([-\d.]+),([-\d.]+),([-\d.]+)\s*$"
+)
+_BSB_PLY_RE = re.compile(r"^PLY/\d+,([-\d.]+),([-\d.]+)\s*$")
+_BSB_GD_RE = re.compile(r"^KNP/.*GD=([^,]+)")
+
+
+def parse_bsb_header(text):
+    """BSB/KAP chart-header reader (reader_bsb.py equivalent, S3 [C
+    semantics]): ``REF/n,px,py,lat,lon`` GCP records → affine in
+    EPSG:4326, ``PLY/n,px,py`` border polygon, ``KNP/...GD=`` datum
+    name resolved via the datum table (J1)."""
+    px, py, wx, wy = [], [], [], []
+    ring = []
+    datum = "WGS 84"
+    for ln in text.splitlines():
+        m = _BSB_REF_RE.match(ln)
+        if m:
+            px.append(float(m.group(1)))
+            py.append(float(m.group(2)))
+            wy.append(float(m.group(3)))  # lat
+            wx.append(float(m.group(4)))  # lon
+            continue
+        m = _BSB_PLY_RE.match(ln)
+        if m:
+            ring.append((float(m.group(1)), float(m.group(2))))
+            continue
+        m = _BSB_GD_RE.match(ln)
+        if m:
+            datum = m.group(1).strip()
+    if datum not in DATUM_TABLE:
+        raise ValueError(f"unknown datum {datum!r}")
+    if len(px) < 3:
+        raise ValueError("need ≥3 REF records to solve an affine")
+    shift = DATUM_TABLE[datum]
+    wx = np.asarray(wx) - shift[0]
+    wy = np.asarray(wy) - shift[1]
+    gt = geo.solve_affine(np.array(px), np.array(py), wx, wy)
+    return gt, "EPSG:4326", np.array(ring, dtype=np.float64), datum
+
+
 #: reader registry keyed by sidecar format — the engine's equivalent of
 #: the reference's reader_*.py dispatch (map2gdal format sniffing,
 #: SURVEY.md §2.10 extension point a). New formats plug in here; the
@@ -98,6 +139,7 @@ def parse_kml_groundoverlay(text):
 GEOREF_PARSERS = {
     "ozi": parse_georef_text,
     "kml": parse_kml_groundoverlay,
+    "bsb": parse_bsb_header,
 }
 
 
@@ -106,6 +148,8 @@ def sniff_format(text):
         return "ozi"
     if "<GroundOverlay" in text or "<LatLonBox" in text:
         return "kml"
+    if re.search(r"^(KNP/|REF/\d)", text, re.M):
+        return "bsb"
     raise ValueError("unrecognized georef sidecar format")
 
 
