@@ -267,74 +267,165 @@ def write_pyramid(
     if z_base is None:
         z_base = auto_zoom(images_path)
     os.makedirs(out_dir, exist_ok=True)
-    levels = list(range(z_base, z_min - 1, -1))
-    n_zorder = 1
-    for z in levels:
+    # --- base level --------------------------------------------------------
+    if not lineage.level_is_complete(out_dir, z_base):
+        z_part = default_z_part(z_base)
+        done = lineage.done_parts(out_dir, z_base)
+        salt_plan = None
+        n_zorder = 1
+        if salt == "auto" or salt is True:
+            census = census_parts(images_path, z_base, z_part)
+            salt_plan = make_salt_plan(census, salt_threshold, salt_target)
+            n_zorder = int(
+                pq.read_metadata(images_path).num_rows
+                if os.path.isfile(images_path)
+                else images_dataset(images_path, columns=["zorder"]).max("zorder")
+                + 1
+            )
+        elif isinstance(salt, dict):
+            salt_plan = salt
+        frags = fragments_dataset(
+            images_path,
+            z_base,
+            z_part,
+            resampling=resampling,
+            salt_plan=salt_plan,
+            n_zorder=n_zorder,
+            done_parts=done,
+            batch_size=batch_size,
+            concurrency=concurrency,
+        )
+        if salt_plan:
+            partials = frags.groupby(["part", "salt"]).map_groups(
+                tiling.partial_composite_group, batch_format="pyarrow"
+            )
+            out = partials.groupby("part").map_groups(
+                _commit_group_fn(out_dir, z_base, tiling.merge_partials_group),
+                batch_format="pyarrow",
+            )
+        else:
+            out = frags.groupby("part").map_groups(
+                _commit_group_fn(out_dir, z_base, tiling.composite_part_group),
+                batch_format="pyarrow",
+            )
+        stats = out.to_pandas()  # tiny: one row per part
+        lineage.mark_level_complete(
+            out_dir,
+            z_base,
+            {
+                "z": z_base,
+                "parts": int(len(stats)) + len(done),
+                "tiles": int(stats["n_tiles"].sum()) if len(stats) else 0,
+            },
+        )
+    # --- overview cascade: ONE shuffle for levels z_base-1 … anchor_z ------
+    # (one per-level groupby each was pure fixed overhead; a z_min-cell
+    # group holds ≤ 4^span base tiles, so the whole sub-pyramid builds
+    # locally inside the reduce). Levels above the anchor (tiny) fall
+    # back to the per-level loop.
+    anchor_z = max(z_min, z_base - 6)
+    cascade = [z for z in range(z_base - 1, anchor_z - 1, -1)]
+    if cascade and not all(lineage.level_is_complete(out_dir, z) for z in cascade):
+        done_anchor = None
+        for z in cascade:
+            d = lineage.done_parts(out_dir, z)
+            done_anchor = d if done_anchor is None else (done_anchor & d)
+        child = _read_level(out_dir, z_base)
+        done_arr = np.array(sorted(done_anchor or ()), dtype=np.int64)
+
+        def _anchor(batch, _az=anchor_z, _done=done_arr):
+            keys = batch.column("tile_key").to_numpy()
+            z_, x_, y_ = tg.unpack_key(keys)
+            shift = z_ - _az
+            part = tg.pack_key(np.full_like(z_, _az), x_ >> shift, y_ >> shift)
+            if "part" in batch.schema.names:
+                batch = batch.drop_columns(["part"])
+            batch = batch.append_column("part", pa.array(part, pa.int64()))
+            if len(_done):
+                batch = batch.filter(pa.array(~np.isin(part, _done)))
+            return batch
+
+        def _commit_cascade(group: pa.Table) -> pa.Table:
+            t0 = time.time()
+            per_level = tiling.cascade_part_group(group, anchor_z, z_base)
+            part = int(group.column("part")[0].as_py())
+            rows = {"z": [], "part": [], "n_tiles": [], "checksum_xor": []}
+            for z, tbl in per_level.items():
+                cx = 0
+                for c in tbl.column("checksum").to_pylist():
+                    cx ^= int(c)
+                manifest = {
+                    "z": z,
+                    "part": part,
+                    "n_tiles": tbl.num_rows,
+                    "tile_keys": tbl.column("tile_key").to_pylist(),
+                    "input_ids": sorted(
+                        {
+                            s
+                            for lst in tbl.column("src_ids").to_pylist()
+                            for s in lst
+                        }
+                    ),
+                    "checksum_xor": cx,
+                    "wall_s": round(time.time() - t0, 4),
+                }
+                lineage.commit_part(out_dir, z, part, tbl, manifest)
+                rows["z"].append(z)
+                rows["part"].append(part)
+                rows["n_tiles"].append(tbl.num_rows)
+                rows["checksum_xor"].append(cx)
+            return pa.table(
+                {
+                    "z": pa.array(rows["z"], pa.int32()),
+                    "part": pa.array(rows["part"], pa.int64()),
+                    "n_tiles": pa.array(rows["n_tiles"], pa.int64()),
+                    "checksum_xor": pa.array(rows["checksum_xor"], pa.int64()),
+                }
+            )
+
+        stats = (
+            child.map_batches(_anchor, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(_commit_cascade, batch_format="pyarrow")
+            .to_pandas()
+        )
+        for z in cascade:
+            lv = stats[stats["z"] == z] if len(stats) else stats
+            lineage.mark_level_complete(
+                out_dir,
+                z,
+                {
+                    "z": z,
+                    "parts": int(len(lv)),
+                    "tiles": int(lv["n_tiles"].sum()) if len(lv) else 0,
+                },
+            )
+    # --- remaining top levels (z < anchor_z): per-level loop ---------------
+    for z in range(anchor_z - 1, z_min - 1, -1):
         if lineage.level_is_complete(out_dir, z):
             continue
         z_part = default_z_part(z)
         done = lineage.done_parts(out_dir, z)
-        if z == z_base:
-            salt_plan = None
-            if salt == "auto" or salt is True:
-                census = census_parts(images_path, z_base, z_part)
-                salt_plan = make_salt_plan(census, salt_threshold, salt_target)
-                n_zorder = int(
-                    pq.read_metadata(images_path).num_rows
-                    if os.path.isfile(images_path)
-                    else images_dataset(images_path, columns=["zorder"]).max("zorder")
-                    + 1
-                )
-            elif isinstance(salt, dict):
-                salt_plan = salt
-            frags = fragments_dataset(
-                images_path,
-                z_base,
-                z_part,
-                resampling=resampling,
-                salt_plan=salt_plan,
-                n_zorder=n_zorder,
-                done_parts=done,
-                batch_size=batch_size,
-                concurrency=concurrency,
-            )
-            if salt_plan:
-                partials = frags.groupby(["part", "salt"]).map_groups(
-                    tiling.partial_composite_group, batch_format="pyarrow"
-                )
-                out = partials.groupby("part").map_groups(
-                    _commit_group_fn(out_dir, z, tiling.merge_partials_group),
-                    batch_format="pyarrow",
-                )
-            else:
-                out = frags.groupby("part").map_groups(
-                    _commit_group_fn(out_dir, z, tiling.composite_part_group),
-                    batch_format="pyarrow",
-                )
+        child = _read_level(out_dir, z + 1)
+        if done:
+            done_arr = np.array(sorted(done), dtype=np.int64)
+
+            def _prune(batch, _done=done_arr, _zp=z_part):
+                b = tiling.add_parent_part(batch, _zp)
+                mask = ~np.isin(b.column("part").to_numpy(), _done)
+                return b.filter(pa.array(mask))
+
+            with_parent = child.map_batches(_prune, batch_format="pyarrow")
         else:
-            child = _read_level(out_dir, z + 1)
-            if done:
-                import ray
-                import pyarrow.compute as pc
-
-                done_arr = np.array(sorted(done), dtype=np.int64)
-
-                def _prune(batch, _done=done_arr, _zp=z_part):
-                    b = tiling.add_parent_part(batch, _zp)
-                    mask = ~np.isin(b.column("part").to_numpy(), _done)
-                    return b.filter(pa.array(mask))
-
-                with_parent = child.map_batches(_prune, batch_format="pyarrow")
-            else:
-                with_parent = child.map_batches(
-                    lambda b, _zp=z_part: tiling.add_parent_part(b, _zp),
-                    batch_format="pyarrow",
-                )
-            out = with_parent.groupby("part").map_groups(
-                _commit_group_fn(out_dir, z, tiling.downsample_part_group),
+            with_parent = child.map_batches(
+                lambda b, _zp=z_part: tiling.add_parent_part(b, _zp),
                 batch_format="pyarrow",
             )
-        stats = out.to_pandas()  # tiny: one row per part
+        out = with_parent.groupby("part").map_groups(
+            _commit_group_fn(out_dir, z, tiling.downsample_part_group),
+            batch_format="pyarrow",
+        )
+        stats = out.to_pandas()
         lineage.mark_level_complete(
             out_dir,
             z,

@@ -409,6 +409,38 @@ def downsample_part_group(group: pa.Table) -> pa.Table:
     return _tile_rows(reduced)
 
 
+def cascade_part_group(group: pa.Table, z_min: int, z_base: int):
+    """ONE group = all base tiles under one z_min-ancestor cell →
+    the ENTIRE overview cascade z_base-1 … z_min for that cell, built
+    locally (A2 applied level by level in-memory). Replaces one
+    shuffle per level with a single shuffle for all levels — the
+    per-level groupby chain was pure fixed overhead at cluster scale.
+
+    Returns {z: tile-rows pa.Table}. Group size is bounded by
+    4^(z_base - z_min) child tiles (the caller caps the span)."""
+    part = int(group.column("part")[0].as_py())
+    level = {}
+    caps = group.column("caption").to_pylist()
+    srcs = group.column("src_ids").to_pylist()
+    pix = group.column("pixels").to_pylist()
+    for i, k in enumerate(group.column("tile_key").to_pylist()):
+        level[k] = (_np_frag(pix[i]), caps[i], list(srcs[i]))
+    out = {}
+    for z in range(z_base - 1, z_min - 1, -1):
+        parents = {}
+        for k, val in level.items():
+            kz, kx, ky = (int(v) for v in tg.unpack_key(k))
+            pk = int(tg.pack_key(z, kx >> 1, ky >> 1))
+            parents.setdefault(pk, {})[(kx & 1, ky & 1)] = val
+        level = {
+            pk: raster.reduce_parent_group(ch) for pk, ch in parents.items()
+        }
+        out[z] = _tile_rows(
+            [(part, pk, v[0], v[1], v[2]) for pk, v in sorted(level.items())]
+        )
+    return out
+
+
 # ---------------------------------------------------------------------------
 # encode sink stage (M2)
 # ---------------------------------------------------------------------------
