@@ -130,3 +130,35 @@ def test_coverage_knn():
     nn = idx.knn([4e5, 2.9e6], [5e5, 5e5], k=2)
     np.testing.assert_array_equal(nn[0], [0, 1])
     np.testing.assert_array_equal(nn[1], [1, 0])
+
+
+def test_resampling_kernels_identity_on_aligned_grid():
+    """All interpolating kernels reproduce the source exactly when the
+    dest grid lands on source pixel centers (gt = identity, z chosen so
+    res==1 is irrelevant — call _sample directly)."""
+    from tilers_tools_ray import raster
+
+    rng = np.random.default_rng(4)
+    src = rng.integers(0, 256, (16, 16, 4)).astype(np.uint8)
+    yy, xx = np.mgrid[0:16, 0:16]
+    spx = xx + 0.5
+    spy = yy + 0.5
+    for kernel in ("nearest", "bilinear", "bicubic"):
+        out, inb = raster._sample(src, spx.astype(float), spy.astype(float), kernel)
+        assert inb.all()
+        np.testing.assert_array_equal(out, src, err_msg=kernel)
+
+
+def test_bicubic_smooth_between_pixels():
+    from tilers_tools_ray import raster
+
+    src = np.zeros((8, 8, 4), dtype=np.uint8)
+    src[:, 4:, :3] = 200
+    src[:, :, 3] = 255
+    spx = np.array([[3.0, 3.5, 4.0]])
+    spy = np.full((1, 3), 4.0)
+    out, _ = raster._sample(src, spx, spy, "bicubic")
+    # spx=3.5 is pixel-3's center (value 0); spx=4.0 is the midpoint
+    # between pixel centers 3 and 4 → strictly between the two values
+    assert out[0, 1, 0] == 0
+    assert 0 < out[0, 2, 0] < 200

@@ -270,9 +270,11 @@ def generate(out_dir, scale="tiny", seed=1234, n_rows=None, use_ray=False):
     n = n_rows if n_rows is not None else SCALES[scale]
     n_regions = {"tiny": 24, "small": 100}.get(scale, 200)
     os.makedirs(out_dir, exist_ok=True)
-    images_path = os.path.join(out_dir, "images.parquet")
+    multi = use_ray or n > 2000
+    images_path = os.path.join(out_dir, "images" if multi else "images.parquet")
     coverage_path = os.path.join(out_dir, "coverage.parquet")
-    if os.path.exists(images_path) and os.path.exists(coverage_path):
+    done_marker = os.path.join(out_dir, "_DONE")
+    if os.path.exists(done_marker):
         return {"images": images_path, "coverage": coverage_path}
     hot_pts, hot_w = hotspots(seed)
     if use_ray:
@@ -289,17 +291,32 @@ def generate(out_dir, scale="tiny", seed=1234, n_rows=None, use_ray=False):
         ds = ds.map_batches(gen_batch, batch_format="pandas", batch_size=500)
         tmp = images_path + ".tmp"
         ds.write_parquet(tmp)
-        # consolidate into a single deterministic-order file
         table = pq.read_table(tmp)
         table = table.take(
             pa.compute.sort_indices(table, sort_keys=[("image_id", "ascending")])
         )
-        pq.write_table(table, images_path)
         import shutil
 
         shutil.rmtree(tmp)
     else:
-        rows = [gen_row(i, seed, hot_pts, hot_w) for i in range(n)]
-        pq.write_table(rows_to_table(rows), images_path)
+        table = rows_to_table([gen_row(i, seed, hot_pts, hot_w) for i in range(n)])
+    if multi:
+        # deterministic multi-file layout → parallel reads downstream
+        # (a single big parquet file reads as ONE serial Ray task)
+        os.makedirs(images_path, exist_ok=True)
+        k = 32
+        bounds = [n * i // k for i in range(k + 1)]
+        for i in range(k):
+            lo, hi = bounds[i], bounds[i + 1]
+            if hi > lo:
+                pq.write_table(
+                    table.slice(lo, hi - lo),
+                    os.path.join(images_path, f"part-{i:04d}.parquet"),
+                    row_group_size=max(100, (hi - lo) // 4),
+                )
+    else:
+        pq.write_table(table, images_path, row_group_size=max(100, n // 8))
     pq.write_table(gen_coverage(seed, n_regions), coverage_path)
+    with open(done_marker, "w") as f:
+        f.write("ok")
     return {"images": images_path, "coverage": coverage_path}

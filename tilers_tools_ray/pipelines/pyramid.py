@@ -46,10 +46,24 @@ FRAG_COLUMNS = [
 GEOREF_COLUMNS = ["image_id", "w", "h", "gt", "srs", "zorder"]
 
 
-def images_dataset(images_path, columns=None):
+def images_dataset(images_path, columns=None, num_blocks=None):
     import ray.data as rd
 
-    return rd.read_parquet(images_path, columns=columns or FRAG_COLUMNS)
+    if num_blocks is None:
+        # block count sets downstream TASK granularity: ~8 blocks/CPU
+        # keeps the actor-pool tail short (per-image work is highly
+        # variable); a single big parquet otherwise reads as ONE task
+        try:
+            import ray
+
+            num_blocks = max(64, int(ray.cluster_resources().get("CPU", 8)) * 4)
+        except Exception:
+            num_blocks = 64
+    return rd.read_parquet(
+        images_path,
+        columns=columns or FRAG_COLUMNS,
+        override_num_blocks=num_blocks,
+    )
 
 
 def _effective_res(batch: pa.Table) -> pa.Table:
@@ -70,6 +84,19 @@ def auto_zoom(images_path):
     ds = images_dataset(images_path, columns=["gt", "srs"])
     min_res = ds.map_batches(_effective_res, batch_format="pyarrow").min("res")
     return int(tg.auto_base_zoom(min_res))
+
+
+def _count_rows(images_path):
+    """Total input rows (= zorder span) from parquet footers only."""
+    if os.path.isfile(images_path):
+        return int(pq.read_metadata(images_path).num_rows)
+    return int(
+        sum(
+            pq.read_metadata(os.path.join(images_path, f)).num_rows
+            for f in os.listdir(images_path)
+            if f.endswith(".parquet")
+        )
+    )
 
 
 def default_z_part(z):
@@ -111,7 +138,7 @@ def fragments_dataset(
     salt_plan=None,
     n_zorder=1,
     done_parts=None,
-    batch_size=16,
+    batch_size=32,
     concurrency=None,
 ):
     """images → fragment rows (the pre-shuffle fan-out stage)."""
@@ -276,12 +303,7 @@ def write_pyramid(
         if salt == "auto" or salt is True:
             census = census_parts(images_path, z_base, z_part)
             salt_plan = make_salt_plan(census, salt_threshold, salt_target)
-            n_zorder = int(
-                pq.read_metadata(images_path).num_rows
-                if os.path.isfile(images_path)
-                else images_dataset(images_path, columns=["zorder"]).max("zorder")
-                + 1
-            )
+            n_zorder = _count_rows(images_path)
         elif isinstance(salt, dict):
             salt_plan = salt
         frags = fragments_dataset(

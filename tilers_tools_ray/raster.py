@@ -137,6 +137,37 @@ def _sample(pixels, spx, spy, resampling):
         out = np.zeros(out_shape + (4,), dtype=np.uint8)
         out[inb] = np.clip(np.round(val[inb]), 0, 255).astype(np.uint8)
         return out, inb
+    if resampling == "bicubic":
+        # Catmull-Rom (a = -0.5), the classic GDAL/PIL cubic kernel
+        fx = spx - 0.5
+        fy = spy - 0.5
+        x0 = np.floor(fx).astype(np.int64)
+        y0 = np.floor(fy).astype(np.int64)
+        tx = fx - x0
+        ty = fy - y0
+        inb = (x0 >= -1) & (x0 < w) & (y0 >= -1) & (y0 < h)
+
+        def cubic_w(t):
+            a = -0.5
+            t = np.abs(t)
+            w1 = (a + 2) * t**3 - (a + 3) * t**2 + 1
+            w2 = a * t**3 - 5 * a * t**2 + 8 * a * t - 4 * a
+            return np.where(t <= 1, w1, np.where(t < 2, w2, 0.0))
+
+        p = pixels.astype(np.float64)
+        acc = np.zeros(out_shape + (4,), dtype=np.float64)
+        for dy in (-1, 0, 1, 2):
+            wy = cubic_w(ty - dy)
+            yc = np.clip(y0 + dy, 0, h - 1)
+            row = np.zeros(out_shape + (4,), dtype=np.float64)
+            for dx in (-1, 0, 1, 2):
+                wx = cubic_w(tx - dx)
+                xc = np.clip(x0 + dx, 0, w - 1)
+                row += p[yc, xc] * wx[..., None]
+            acc += row * wy[..., None]
+        out = np.zeros(out_shape + (4,), dtype=np.uint8)
+        out[inb] = np.clip(np.round(acc[inb]), 0, 255).astype(np.uint8)
+        return out, inb
     raise ValueError(f"unknown resampling {resampling!r}")
 
 

@@ -489,7 +489,8 @@ def _corpus_for(sf_dir):
     """Deterministic engine corpus sized to the driver sf (cached)."""
     from .. import corpus
 
-    n = 400 if "0.01" in os.path.basename(os.path.normpath(sf_dir)) else 150
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    n = {"sf0.001": 150, "sf0.01": 400, "sf0.1": 1000}.get(tag, 150)
     out = f"/tmp/ttr_corpus_n{n}"
     return corpus.generate(out, scale="tiny", n_rows=n, seed=1234)
 

@@ -305,19 +305,34 @@ def partial_composite_group(group: pa.Table) -> pa.Table:
     salt = int(group.column("salt")[0].as_py())
     per_tile = {}
     for i, k in enumerate(keys):
-        per_tile.setdefault(k, []).append((zo[i], ids[i], caps[i], _np_frag(frags[i])))
+        per_tile.setdefault(k, []).append(i)
     out = {k: [] for k in PARTIAL_SCHEMA.names}
     for k in sorted(per_tile):
-        entries = sorted(per_tile[k], key=lambda e: (e[0], e[1]))
+        idx = per_tile[k]
+        out["part"].append(part)
+        out["salt"].append(salt)
+        out["tile_key"].append(k)
+        if len(idx) == 1:
+            # single fragment in this salt range → reuse its packed
+            # buffer; unpack only for the opaque-coverage count the
+            # caption policy needs at merge time
+            i = idx[0]
+            out["pixels"].append(frags[i])
+            out["best_cov"].append(int((_np_frag(frags[i])[:, :, 3] > 0).sum()))
+            out["best_id"].append(ids[i])
+            out["best_caption"].append(caps[i])
+            out["src_ids"].append([ids[i]])
+            continue
+        entries = sorted(
+            ((zo[i], ids[i], caps[i], _np_frag(frags[i])) for i in idx),
+            key=lambda e: (e[0], e[1]),
+        )
         pixels = raster.composite_fragments([e[3] for e in entries])
         covs = [int((e[3][:, :, 3] > 0).sum()) for e in entries]
         bi = max(
             range(len(entries)),
             key=lambda j: (covs[j], raster._neg_id(entries[j][1])),
         )
-        out["part"].append(part)
-        out["salt"].append(salt)
-        out["tile_key"].append(k)
         out["pixels"].append(pack_pixels(pixels))
         out["best_cov"].append(covs[bi])
         out["best_id"].append(entries[bi][1])
