@@ -239,32 +239,44 @@ def _commit_group_fn(out_dir, z, reduce_fn):
         t0 = time.monotonic()
         tiles_tbl = reduce_fn(group)
         part = int(tiles_tbl.column("part")[0].as_py())
-        checksum_xor = 0
-        for c in tiles_tbl.column("checksum").to_pylist():
-            checksum_xor ^= int(c)
-        src_ids = sorted(
-            {s for lst in tiles_tbl.column("src_ids").to_pylist() for s in lst}
-        )
-        manifest = {
-            "z": z,
-            "part": part,
-            "n_tiles": tiles_tbl.num_rows,
-            "tile_keys": tiles_tbl.column("tile_key").to_pylist(),
-            "input_ids": src_ids,
-            "checksum_xor": checksum_xor,
-            "wall_s": round(time.monotonic() - t0, 4),
-        }
+        manifest = _part_manifest(z, part, tiles_tbl, t0)
         lineage.commit_part(out_dir, z, part, tiles_tbl, manifest)
         return pa.table(
             {
                 "z": pa.array([z], pa.int32()),
                 "part": pa.array([part], pa.int64()),
                 "n_tiles": pa.array([tiles_tbl.num_rows], pa.int64()),
-                "checksum_xor": pa.array([checksum_xor], pa.int64()),
+                "checksum_xor": pa.array([manifest["checksum_xor"]], pa.int64()),
             }
         )
 
     return commit
+
+
+def _part_manifest(z, part, tiles_tbl, t0):
+    """Slim per-partition lineage record. The committed parquet file
+    itself is the authoritative carrier of tile_keys / src_ids /
+    per-tile checksums (they are columns); the manifest stores the
+    rollup + key range so audits and resume stay O(1) per part."""
+    checksum_xor = 0
+    for c in tiles_tbl.column("checksum").to_pylist():
+        checksum_xor ^= int(c)
+    keys = tiles_tbl.column("tile_key")
+    n_inputs = len(
+        {s for lst in tiles_tbl.column("src_ids").to_pylist() for s in lst}
+    )
+    import pyarrow.compute as pc
+
+    return {
+        "z": z,
+        "part": part,
+        "n_tiles": tiles_tbl.num_rows,
+        "key_min": int(pc.min(keys).as_py()) if tiles_tbl.num_rows else 0,
+        "key_max": int(pc.max(keys).as_py()) if tiles_tbl.num_rows else 0,
+        "n_inputs": n_inputs,
+        "checksum_xor": checksum_xor,
+        "wall_s": round(time.monotonic() - t0, 4),
+    }
 
 
 def _read_level(out_dir, z, columns=None):
@@ -368,34 +380,17 @@ def write_pyramid(
             return batch
 
         def _commit_cascade(group: pa.Table) -> pa.Table:
-            t0 = time.time()
+            t0 = time.monotonic()
             per_level = tiling.cascade_part_group(group, anchor_z, z_base)
             part = int(group.column("part")[0].as_py())
             rows = {"z": [], "part": [], "n_tiles": [], "checksum_xor": []}
             for z, tbl in per_level.items():
-                cx = 0
-                for c in tbl.column("checksum").to_pylist():
-                    cx ^= int(c)
-                manifest = {
-                    "z": z,
-                    "part": part,
-                    "n_tiles": tbl.num_rows,
-                    "tile_keys": tbl.column("tile_key").to_pylist(),
-                    "input_ids": sorted(
-                        {
-                            s
-                            for lst in tbl.column("src_ids").to_pylist()
-                            for s in lst
-                        }
-                    ),
-                    "checksum_xor": cx,
-                    "wall_s": round(time.time() - t0, 4),
-                }
+                manifest = _part_manifest(z, part, tbl, t0)
                 lineage.commit_part(out_dir, z, part, tbl, manifest)
                 rows["z"].append(z)
                 rows["part"].append(part)
                 rows["n_tiles"].append(tbl.num_rows)
-                rows["checksum_xor"].append(cx)
+                rows["checksum_xor"].append(manifest["checksum_xor"])
             return pa.table(
                 {
                     "z": pa.array(rows["z"], pa.int32()),
