@@ -122,3 +122,26 @@ def test_write_pyramid_and_resume(ray_session, tiny_corpus, golden_pyramid, tmp_
         a = pyramid.read_tiles(out_a, z).to_pandas()
         b = pyramid.read_tiles(out_b, z).to_pandas()
         _assert_level_equal(_tiles_to_dict(b), _tiles_to_dict(a), z)
+
+
+def test_cascade_level_resume(ray_session, tiny_corpus, golden_pyramid, tmp_path):
+    """Deleting one overview level's partitions + markers and re-running
+    repairs the pyramid exactly (anchor-granularity cascade resume)."""
+    import glob
+
+    z_base, gold = golden_pyramid
+    out = str(tmp_path / "run_c")
+    pyramid.write_pyramid(
+        tiny_corpus["images"], out, z_base=z_base, z_min=Z_MIN, salt=None
+    )
+    victim_z = z_base - 2
+    before = pyramid.read_tiles(out, victim_z).to_pandas()
+    for f in glob.glob(os.path.join(lineage.level_dir(out, victim_z), "*")):
+        os.remove(f)
+    for f in glob.glob(os.path.join(lineage.lineage_dir(out, victim_z), "*")):
+        os.remove(f)
+    pyramid.write_pyramid(
+        tiny_corpus["images"], out, z_base=z_base, z_min=Z_MIN, salt=None
+    )
+    after = pyramid.read_tiles(out, victim_z).to_pandas()
+    _assert_level_equal(_tiles_to_dict(after), _tiles_to_dict(before), victim_z)

@@ -146,15 +146,17 @@ def fragments_dataset(
 
     ds = images_dataset(images_path)
     if concurrency is None:
-        # fixed-size actor pool sized to the cluster, leaving headroom
-        # for the read and reduce stages (ray_guide.md pool-sizing
-        # rule). Fixed beats autoscaling here: the pool ramp-up from
-        # min_size=1 dominates short stages.
+        # fixed-size actor pool at 7/8 of cluster CPUs — PROPORTIONAL
+        # headroom for the read/reduce stages (a fixed "-2" skews
+        # cross-parallelism comparisons: 2 of 8 is 25%, 2 of 32 is 6%;
+        # on a real N-node cluster per-node overheads replicate, so the
+        # proportion is the faithful model). Fixed beats autoscaling:
+        # pool ramp-up from min_size=1 dominates short stages.
         try:
             ncpu = int(ray.cluster_resources().get("CPU", 8))
         except Exception:
             ncpu = 8
-        concurrency = max(2, ncpu - 2)
+        concurrency = max(2, ncpu * 7 // 8)
     kwargs = {"concurrency": concurrency}
     salt_ref = ray.put(salt_plan) if salt_plan else None
     done_ref = ray.put(done_parts) if done_parts else None

@@ -553,6 +553,26 @@ def knn_nearest_regions(sf_dir):
     return out.sort(["image_id", "rank"])
 
 
+def skew_census(sf_dir):
+    """§4.2 skew report (O2): the k hottest partition cells by
+    projected fragment count — the census that drives the salt plan."""
+    from ..pipelines import pyramid
+
+    paths = _corpus_for(sf_dir)
+    z_base = pyramid.auto_zoom(paths["images"])
+    z_part = pyramid.default_z_part(z_base)
+    census = pyramid.census_parts(paths["images"], z_base, z_part)
+    col = "sum(n)" if "sum(n)" in census.columns else "n"
+    out = census.rename(columns={col: "n_fragments"})
+    out["part"] = out["part"].astype("int64")
+    out["n_fragments"] = out["n_fragments"].astype("int64")
+    return (
+        out.sort_values(["n_fragments", "part"], ascending=[False, True])
+        .head(20)
+        .reset_index(drop=True)
+    )
+
+
 def phash_dedup_images(sf_dir):
     from ..pipelines import pyramid
 
@@ -604,6 +624,7 @@ QUERIES = {
     "ivf_ann_topk": ivf_ann_topk,
     "embedding_dup_pairs": embedding_dup_pairs,
     "tile_pyramid_stats": tile_pyramid_stats,
+    "skew_census": skew_census,
     "spatial_join_images": spatial_join_images,
     "knn_nearest_regions": knn_nearest_regions,
     "phash_dedup_images": phash_dedup_images,
