@@ -197,10 +197,11 @@ def embedding_cosine_dup_pairs(emb_ds, threshold=0.98):
     s = m @ m.T
     iu = np.triu_indices(len(ids), k=1)
     mask = s[iu] >= threshold
+    a = ids[iu[0][mask]]
+    b = ids[iu[1][mask]]
+    # triu is over ROW POSITIONS; normalize to id order (vec_a < vec_b)
+    lo = np.minimum(a, b)
+    hi = np.maximum(a, b)
     return pd.DataFrame(
-        {
-            "vec_a": ids[iu[0][mask]],
-            "vec_b": ids[iu[1][mask]],
-            "score": np.round(s[iu][mask], 6),
-        }
+        {"vec_a": lo, "vec_b": hi, "score": np.round(s[iu][mask], 6)}
     ).sort_values(["vec_a", "vec_b"]).reset_index(drop=True)

@@ -465,8 +465,11 @@ def ivf_ann_topk(sf_dir):
 
 
 def embedding_dup_pairs(sf_dir):
+    # threshold 0.45 picked to be non-trivial on the synthetic
+    # embeddings (random vectors: max pairwise cosine ≈ 0.51; a dup
+    # threshold like 0.95 would match the oracle vacuously with 0 rows)
     emb = ops.read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    return ann.embedding_cosine_dup_pairs(emb, threshold=0.95)[
+    return ann.embedding_cosine_dup_pairs(emb, threshold=0.45)[
         ["vec_a", "vec_b"]
     ]
 
@@ -475,7 +478,7 @@ EMB_DUP_SQL = """
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                             CAST(b.embedding AS DOUBLE[])) >= 0.95
+                             CAST(b.embedding AS DOUBLE[])) >= 0.45
 ORDER BY vec_a, vec_b
 """
 
