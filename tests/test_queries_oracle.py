@@ -72,6 +72,8 @@ def test_entry_smoke(ray_session):
         "segment_stats",
         "events_hourly",
         "events_sessionize",
+        "events_sliding_window",
+        "events_asof_last_click",
         "brand_volume",
         "doc_token_stats",
         "dedup_exact_docs",
@@ -102,6 +104,7 @@ def test_oracle_match(registry, name):
         "simhash_near_dups",
         "ivf_ann_topk",
         "tile_pyramid_stats",
+        "skew_census",
         "spatial_join_images",
         "knn_nearest_regions",
         "phash_dedup_images",

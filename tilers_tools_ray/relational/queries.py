@@ -355,6 +355,114 @@ FROM s GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def events_sliding_window(sf_dir):
+    """Sliding windowed aggregate (1 h window, 15 min slide): each
+    event lands in the 4 windows covering it — per-batch explode +
+    partial aggregate, tiny driver merge. A custom operator Ray Data
+    lacks natively, expressed as map_batches + grouped merge
+    (ray_guide.md 'Streaming-shaped workloads')."""
+    ev = ops.read(sf_dir, "events", columns=["ts", "value"])
+    slide_s = 900
+
+    def explode_partial(b: pd.DataFrame) -> pd.DataFrame:
+        base = b["ts"].dt.floor("15min")
+        frames = []
+        for i in range(4):
+            ws = base - pd.Timedelta(seconds=slide_s * i)
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "window_start": ws.dt.strftime("%Y-%m-%d %H:%M:%S"),
+                        "value": b["value"].to_numpy(),
+                    }
+                )
+            )
+        allw = pd.concat(frames, ignore_index=True)
+        return allw.groupby("window_start", as_index=False, sort=False).agg(
+            value=("value", "sum"), n_events=("value", "size")
+        )
+
+    partials = ev.map_batches(
+        explode_partial, batch_format="pandas", batch_size=65536
+    ).to_pandas()
+    df = partials.groupby("window_start", as_index=False).agg(
+        value=("value", "sum"), n_events=("n_events", "sum")
+    )
+    out = pd.DataFrame(
+        {
+            "window_start": df["window_start"],
+            "n_events": df["n_events"].astype("int64"),
+            "sum_value": df["value"].round(2),
+        }
+    )
+    return out.sort_values("window_start").reset_index(drop=True)
+
+
+SLIDING_SQL = """
+WITH e AS (
+  SELECT ts, value,
+         date_trunc('minute', ts)
+           - to_minutes(CAST(extract(minute FROM ts) AS BIGINT) % 15) AS base
+  FROM events
+), w AS (
+  SELECT strftime(base - to_minutes(15 * i.g), '%Y-%m-%d %H:%M:%S')
+           AS window_start,
+         value
+  FROM e CROSS JOIN (SELECT unnest(range(4)) AS g) i
+)
+SELECT window_start, count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM w GROUP BY window_start ORDER BY window_start
+"""
+
+
+def events_asof_last_click(sf_dir):
+    """As-of join (self): for every 'error' event, the user's most
+    recent STRICTLY-PRIOR 'click'. Implemented as
+    groupby(user).map_groups with a sorted forward-fill — the
+    partitioning assumption (all of a user's events co-grouped) is the
+    documented requirement (SURVEY.md §2 custom-operator note)."""
+    ev = ops.read(
+        sf_dir, "events", columns=["user_id", "ts", "event_id", "event_type"]
+    )
+
+    def asof(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        click_ts = g["ts"].where(g["event_type"] == "click")
+        last_click = click_ts.shift(1).ffill()
+        err = g[g["event_type"] == "error"].copy()
+        err["last_click"] = last_click[err.index]
+        err = err.dropna(subset=["last_click"])
+        return pd.DataFrame(
+            {
+                "user_id": err["user_id"],
+                "event_id": err["event_id"].astype("int64"),
+                "last_click": err["last_click"].dt.strftime(
+                    "%Y-%m-%d %H:%M:%S.%f"
+                ),
+            }
+        )
+
+    out = ev.groupby("user_id").map_groups(asof, batch_format="pandas")
+    return out.sort(["user_id", "event_id"])
+
+
+ASOF_SQL = """
+WITH t AS (
+  SELECT user_id, ts, event_id, event_type,
+         max(CASE WHEN event_type = 'click' THEN ts END) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS last_click
+  FROM events
+)
+SELECT user_id, event_id,
+       strftime(last_click, '%Y-%m-%d %H:%M:%S.%f') AS last_click
+FROM t
+WHERE event_type = 'error' AND last_click IS NOT NULL
+ORDER BY user_id, event_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # documents: text analysis + dedup
 # ---------------------------------------------------------------------------
@@ -615,6 +723,8 @@ QUERIES = {
     "segment_stats": segment_stats,
     "events_hourly": events_hourly,
     "events_sessionize": events_sessionize,
+    "events_sliding_window": events_sliding_window,
+    "events_asof_last_click": events_asof_last_click,
     "brand_volume": brand_volume,
     "doc_token_stats": doc_token_stats,
     "dedup_exact_docs": dedup_exact_docs,
@@ -642,6 +752,8 @@ ORACLES = {
     "segment_stats": SEGMENT_SQL,
     "events_hourly": EVENTS_HOURLY_SQL,
     "events_sessionize": SESSIONIZE_SQL,
+    "events_sliding_window": SLIDING_SQL,
+    "events_asof_last_click": ASOF_SQL,
     "brand_volume": BRAND_SQL,
     "doc_token_stats": TOKEN_STATS_SQL,
     "dedup_exact_docs": DEDUP_EXACT_SQL,
