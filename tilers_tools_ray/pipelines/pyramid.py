@@ -83,6 +83,8 @@ def auto_zoom(images_path):
     min-reduce over the georef columns only — no pixel decode)."""
     ds = images_dataset(images_path, columns=["gt", "srs"])
     min_res = ds.map_batches(_effective_res, batch_format="pyarrow").min("res")
+    if min_res is None:
+        raise ValueError(f"empty images table: {images_path}")
     return int(tg.auto_base_zoom(min_res))
 
 
