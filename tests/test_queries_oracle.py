@@ -75,6 +75,9 @@ def test_entry_smoke(ray_session):
         "events_sliding_window",
         "events_asof_last_click",
         "brand_volume",
+        "orders_price_band_join",
+        "order_price_quantiles",
+        "segment_distinct_customers",
         "doc_token_stats",
         "dedup_exact_docs",
         "ann_cosine_topk",

@@ -355,6 +355,117 @@ FROM s GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def orders_price_band_join(sf_dir):
+    """Range join: orders × derived price bands ([0,50k), [50k,100k)…)
+    — broadcast band boundaries, vectorized searchsorted per batch
+    (the band table is small by construction; a shuffle range join
+    would bucket on the band id)."""
+    bands = np.arange(0.0, 600000.0, 50000.0)  # lo edges
+    orders = ops.read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    def assign(b: pd.DataFrame) -> pd.DataFrame:
+        idx = np.searchsorted(bands, b["o_totalprice"].to_numpy(), side="right") - 1
+        out = pd.DataFrame(
+            {"band_lo": bands[idx], "o_totalprice": b["o_totalprice"]}
+        )
+        return out.groupby("band_lo", as_index=False, sort=False).agg(
+            n_orders=("o_totalprice", "size"), sum_price=("o_totalprice", "sum")
+        )
+
+    partials = orders.map_batches(
+        assign, batch_format="pandas", batch_size=65536
+    ).to_pandas()
+    df = partials.groupby("band_lo", as_index=False).agg(
+        n_orders=("n_orders", "sum"), sum_price=("sum_price", "sum")
+    )
+    df["band_lo"] = df["band_lo"].round(2)
+    df["n_orders"] = df["n_orders"].astype("int64")
+    df["sum_price"] = df["sum_price"].round(2)
+    return df.sort_values("band_lo").reset_index(drop=True)
+
+
+BAND_JOIN_SQL = """
+WITH bands AS (
+  SELECT 50000.0 * unnest(range(12)) AS band_lo
+)
+SELECT round(b.band_lo, 2) AS band_lo,
+       count(*) AS n_orders,
+       round(sum(o.o_totalprice), 2) AS sum_price
+FROM orders o JOIN bands b
+  ON o.o_totalprice >= b.band_lo AND o.o_totalprice < b.band_lo + 50000.0
+GROUP BY b.band_lo ORDER BY band_lo
+"""
+
+
+def order_price_quantiles(sf_dir):
+    """Median/quartiles per order priority. Exact quantiles need the
+    full group — group sizes here are modest, so map_groups computes
+    them in pandas (linear interpolation = quantile_cont semantics);
+    at huge scale swap in a mergeable sketch (KLL) per batch."""
+    orders = ops.read(sf_dir, "orders", columns=["o_orderpriority", "o_totalprice"])
+
+    def q(g: pd.DataFrame) -> pd.DataFrame:
+        s = g["o_totalprice"]
+        return pd.DataFrame(
+            {
+                "o_orderpriority": [g["o_orderpriority"].iloc[0]],
+                "p25": [round(s.quantile(0.25), 2)],
+                "median": [round(s.quantile(0.5), 2)],
+                "p75": [round(s.quantile(0.75), 2)],
+            }
+        )
+
+    out = orders.groupby("o_orderpriority").map_groups(q, batch_format="pandas")
+    return out.sort("o_orderpriority")
+
+
+QUANTILES_SQL = """
+SELECT o_orderpriority,
+       round(quantile_cont(o_totalprice, 0.25), 2) AS p25,
+       round(quantile_cont(o_totalprice, 0.5), 2)  AS median,
+       round(quantile_cont(o_totalprice, 0.75), 2) AS p75
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def segment_distinct_customers(sf_dir):
+    """Exact distinct count per group: per-batch distinct partials
+    (set semantics inside the batch) → grouped distinct of the much
+    smaller partial set → count. The shuffle moves one row per
+    (batch, segment, custkey-distinct-in-batch)."""
+    cust = ops.read(sf_dir, "customer", columns=["c_mktsegment", "c_custkey"])
+    orders = ops.read(sf_dir, "orders", columns=["o_custkey"])
+
+    def o_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.drop_duplicates("o_custkey")
+
+    active = (
+        orders.map_batches(o_partial, batch_format="pandas")
+        .to_pandas()
+        .drop_duplicates("o_custkey")
+    )
+    cdf = cust.to_pandas()
+    merged = cdf.merge(
+        active, left_on="c_custkey", right_on="o_custkey", how="inner"
+    )
+    out = (
+        merged.groupby("c_mktsegment", as_index=False)
+        .agg(n_active_customers=("c_custkey", "nunique"))
+        .sort_values("c_mktsegment")
+        .reset_index(drop=True)
+    )
+    out["n_active_customers"] = out["n_active_customers"].astype("int64")
+    return out
+
+
+DISTINCT_SQL = """
+SELECT c_mktsegment,
+       count(DISTINCT c_custkey) AS n_active_customers
+FROM customer JOIN orders ON c_custkey = o_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
 def events_sliding_window(sf_dir):
     """Sliding windowed aggregate (1 h window, 15 min slide): each
     event lands in the 4 windows covering it — per-batch explode +
@@ -726,6 +837,9 @@ QUERIES = {
     "events_sliding_window": events_sliding_window,
     "events_asof_last_click": events_asof_last_click,
     "brand_volume": brand_volume,
+    "orders_price_band_join": orders_price_band_join,
+    "order_price_quantiles": order_price_quantiles,
+    "segment_distinct_customers": segment_distinct_customers,
     "doc_token_stats": doc_token_stats,
     "dedup_exact_docs": dedup_exact_docs,
     "doc_quality": doc_quality,
@@ -755,6 +869,9 @@ ORACLES = {
     "events_sliding_window": SLIDING_SQL,
     "events_asof_last_click": ASOF_SQL,
     "brand_volume": BRAND_SQL,
+    "orders_price_band_join": BAND_JOIN_SQL,
+    "order_price_quantiles": QUANTILES_SQL,
+    "segment_distinct_customers": DISTINCT_SQL,
     "doc_token_stats": TOKEN_STATS_SQL,
     "dedup_exact_docs": DEDUP_EXACT_SQL,
     "ann_cosine_topk": ANN_SQL,
