@@ -117,41 +117,36 @@ def export_tree(tiles_ds, root, *, layout="xyz", fmt="png", concurrency=(1, 8)):
     sidecar). The writer is a side-effect map_batches stage returning
     (path, n_bytes) rows; consume its count to run it."""
 
-    class WriteTiles:
-        def __init__(self):
-            self.fmt = fmt
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            zs = batch.column("z").to_pylist()
-            xs = batch.column("x").to_pylist()
-            ys = batch.column("y").to_pylist()
-            pix = batch.column("pixels").to_pylist()
-            out_paths, out_sz = [], []
-            for z, x, y, p in zip(zs, xs, ys, pix):
-                rel = tg.coord_to_path(z, x, y, layout=layout, ext=self.fmt)
-                dest = os.path.join(root, rel)
-                os.makedirs(os.path.dirname(dest), exist_ok=True)
-                blob = codecs.encode_image(tiling._np_frag(p), self.fmt)
-                tmp = dest + f".tmp.{os.getpid()}"
-                with open(tmp, "wb") as f:
-                    f.write(blob)
-                os.replace(tmp, dest)
-                out_paths.append(rel)
-                out_sz.append(len(blob))
-            return pa.table(
-                {
-                    "path": pa.array(out_paths, pa.string()),
-                    "n_bytes": pa.array(out_sz, pa.int64()),
-                }
-            )
+    # stateless task (NOT an actor pool): a second fixed actor pool
+    # behind the shuffle can starve the executor at low CPU counts —
+    # idle actors hold their CPUs while the sort they feed on waits
+    def write_tiles(batch: pa.Table) -> pa.Table:
+        zs = batch.column("z").to_pylist()
+        xs = batch.column("x").to_pylist()
+        ys = batch.column("y").to_pylist()
+        pix = batch.column("pixels").to_pylist()
+        out_paths, out_sz = [], []
+        for z, x, y, p in zip(zs, xs, ys, pix):
+            rel = tg.coord_to_path(z, x, y, layout=layout, ext=fmt)
+            dest = os.path.join(root, rel)
+            os.makedirs(os.path.dirname(dest), exist_ok=True)
+            blob = codecs.encode_image(tiling._np_frag(p), fmt)
+            tmp = dest + f".tmp.{os.getpid()}"
+            with open(tmp, "wb") as f:
+                f.write(blob)
+            os.replace(tmp, dest)
+            out_paths.append(rel)
+            out_sz.append(len(blob))
+        return pa.table(
+            {
+                "path": pa.array(out_paths, pa.string()),
+                "n_bytes": pa.array(out_sz, pa.int64()),
+            }
+        )
 
     os.makedirs(root, exist_ok=True)
     written = tiles_ds.map_batches(
-        WriteTiles,
-        batch_format="pyarrow",
-        batch_size=64,
-        concurrency=concurrency,
-        num_cpus=1,
+        write_tiles, batch_format="pyarrow", batch_size=64
     )
     n = written.count()
     stats = tileset_stats(tiles_ds).to_pandas()
@@ -171,7 +166,50 @@ def export_tree(tiles_ds, root, *, layout="xyz", fmt="png", concurrency=(1, 8)):
     }
     with open(os.path.join(root, "tilemap.json"), "w") as f:
         json.dump(meta, f, indent=1, sort_keys=True)
+    _write_viewer_html(root, meta)
     return meta
+
+
+def _write_viewer_html(root, meta):
+    """Self-contained HTML tile viewer sidecar — the engine's stand-in
+    for gdal_tiler's bundled map viewer (S7 [C]). No external libs:
+    renders one zoom level as an absolutely-positioned tile grid with
+    zoom buttons."""
+    zooms = sorted(int(z) for z in meta["zooms"])
+    html = f"""<!doctype html><html><head><meta charset="utf-8">
+<title>tileset viewer</title>
+<style>body{{margin:0;background:#223;font-family:monospace;color:#eee}}
+#bar{{padding:6px}}#map{{position:relative;overflow:auto;height:95vh}}
+img{{position:absolute;width:256px;height:256px;image-rendering:pixelated}}</style>
+</head><body>
+<div id="bar">layout={meta["layout"]} fmt={meta["fmt"]} zooms:
+{"".join(f'<button onclick="show({z})">{z}</button>' for z in zooms)}
+<span id="info"></span></div><div id="map"></div>
+<script>
+const meta = {json.dumps(meta["zooms"])};
+const layout = {json.dumps(meta["layout"])}, fmt = {json.dumps(meta["fmt"])};
+function path(z,x,y){{
+  if(layout==="tms") y = (1<<z)-1-y;
+  if(layout==="zyx") return z+"/"+y+"/"+x+"."+fmt;
+  if(layout==="sasplanet") return "z"+(z+1)+"/"+Math.floor(x/1024)+"/x"+x+"/"+Math.floor(y/1024)+"/y"+y+"."+fmt;
+  return z+"/"+x+"/"+y+"."+fmt;
+}}
+function show(z){{
+  const m = meta[z], map = document.getElementById("map");
+  map.innerHTML = "";
+  document.getElementById("info").textContent = " z="+z+" ("+m.count+" tiles)";
+  for(let x=m.x[0]; x<=m.x[1]; x++) for(let y=m.y[0]; y<=m.y[1]; y++){{
+    const img = document.createElement("img");
+    img.src = path(z,x,y);
+    img.style.left = (x-m.x[0])*256+"px"; img.style.top = (y-m.y[0])*256+"px";
+    img.onerror = () => img.remove();
+    map.appendChild(img);
+  }}
+}}
+show({zooms[-1] if zooms else 0});
+</script></body></html>"""
+    with open(os.path.join(root, "index.html"), "w") as f:
+        f.write(html)
 
 
 def read_tile_tree(root, layout="xyz"):
@@ -213,20 +251,18 @@ def read_tile_tree(root, layout="xyz"):
     return ds.map_batches(parse, batch_format="pyarrow")
 
 
-def decode_tree_tiles(tree_ds, concurrency=(1, 8)):
-    """tile_bytes → raw ``pixels`` column (M1 over a tile tree)."""
+def decode_tree_tiles(tree_ds):
+    """tile_bytes → packed ``pixels`` column (M1 over a tile tree).
+    Stateless tasks — codec tables are module-level constants."""
 
-    class Decode:
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            pix = [
-                tiling.pack_pixels(codecs.decode_image(b))
-                for b in batch.column("tile_bytes").to_pylist()
-            ]
-            return batch.append_column("pixels", pa.array(pix, pa.binary()))
+    def decode(batch: pa.Table) -> pa.Table:
+        pix = [
+            tiling.pack_pixels(codecs.decode_image(b))
+            for b in batch.column("tile_bytes").to_pylist()
+        ]
+        return batch.append_column("pixels", pa.array(pix, pa.binary()))
 
-    return tree_ds.map_batches(
-        Decode, batch_format="pyarrow", batch_size=64, concurrency=concurrency
-    )
+    return tree_ds.map_batches(decode, batch_format="pyarrow", batch_size=64)
 
 
 def tile_bounds_table(tiles_ds):
@@ -271,27 +307,22 @@ def distinct_zooms(tiles_ds):
     return sorted(tiles_ds.unique("z"))
 
 
-def transcode_tiles(tree_ds, to_fmt, concurrency=(1, 8)):
+def transcode_tiles(tree_ds, to_fmt):
     """tiles_convert's format re-encode: tile_bytes → ``to_fmt``.
-    Stateless per-row codec work in an actor pool (M1+M2)."""
+    Stateless per-row codec tasks (M1+M2)."""
 
-    class Transcode:
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            blobs = [
-                codecs.encode_image(codecs.decode_image(b), to_fmt)
-                for b in batch.column("tile_bytes").to_pylist()
-            ]
-            batch = batch.drop_columns(["tile_bytes", "fmt"])
-            batch = batch.append_column(
-                "tile_bytes", pa.array(blobs, pa.binary())
-            )
-            return batch.append_column(
-                "fmt", pa.array([to_fmt] * batch.num_rows, pa.string())
-            )
+    def transcode(batch: pa.Table) -> pa.Table:
+        blobs = [
+            codecs.encode_image(codecs.decode_image(b), to_fmt)
+            for b in batch.column("tile_bytes").to_pylist()
+        ]
+        batch = batch.drop_columns(["tile_bytes", "fmt"])
+        batch = batch.append_column("tile_bytes", pa.array(blobs, pa.binary()))
+        return batch.append_column(
+            "fmt", pa.array([to_fmt] * batch.num_rows, pa.string())
+        )
 
-    return tree_ds.map_batches(
-        Transcode, batch_format="pyarrow", batch_size=64, concurrency=concurrency
-    )
+    return tree_ds.map_batches(transcode, batch_format="pyarrow", batch_size=64)
 
 
 def tileset_stats(tiles_ds):
