@@ -40,6 +40,7 @@ def _dct_matrix(n):
 
 
 _DCT8 = _dct_matrix(8)
+_DCT8_F32 = _DCT8.astype(np.float32)
 _DCT32 = _dct_matrix(32)
 
 # ---------------------------------------------------------------------------
@@ -213,9 +214,12 @@ def decode_dct(data):
     )
     out = np.empty((h, w, 4), dtype=np.uint8)
     for ch in range(3):
-        c = qc[ch].astype(np.float64) * q
-        blocks = _DCT8.T @ c @ _DCT8  # inverse transform, broadcast matmul
-        plane = _unblockify(blocks)[:h, :w] + 128.0
+        # float32 inverse transform: decode is the hot per-batch path;
+        # coefficient magnitudes ≤ 255 keep float32 error ~3e-5 — far
+        # inside the rounding granularity
+        c = qc[ch].astype(np.float32) * np.float32(q)
+        blocks = _DCT8_F32.T @ c @ _DCT8_F32
+        plane = _unblockify(blocks)[:h, :w] + np.float32(128.0)
         out[:, :, ch] = np.clip(np.round(plane), 0, 255).astype(np.uint8)
     out[:, :, 3] = 255
     return out

@@ -90,7 +90,16 @@ def _source_coords(gt, srs, z, gx, gy):
     """Dest global-pixel indices (1-D cols ``gx``, 1-D rows ``gy``) →
     source pixel coords (2-D spx, spy) via separable broadcast: the
     mercator→lonlat conversion is axis-separable and the affine is
-    linear, so no full meshgrid is ever materialized."""
+    linear, so no full meshgrid is ever materialized.
+
+    The 1-D terms are computed in float64 in the CANCELLATION-FREE
+    form spx = inv1·(wx−gt0) + inv2·(wy−gt3) (world coords translated
+    to the image origin before scaling — the raw ORIGIN-magnitude
+    terms would lose ~3 decimal digits), then the 2-D broadcast adds
+    run in float32: source-pixel magnitudes are ≤ a few thousand, so
+    float32 keeps ~2·10⁻⁴ px — far below the half-pixel that could
+    flip a nearest-neighbor sample — at HALF the memory bandwidth of
+    the biggest arrays in the pipeline."""
     n = 1 << int(z)
     res = 2.0 * tg.ORIGIN / (TILE * n)
     mx = (np.asarray(gx, dtype=np.float64) + 0.5) * res - tg.ORIGIN
@@ -100,9 +109,16 @@ def _source_coords(gt, srs, z, gx, gy):
         wy = np.degrees(2.0 * np.arctan(np.exp(my / tg.EARTH_RADIUS)) - np.pi / 2.0)
     else:
         wx, wy = mx, my
-    inv = geo.invert_gt(np.asarray(gt, dtype=np.float64))
-    spx = inv[0] + inv[1] * wx[None, :] + inv[2] * wy[:, None]
-    spy = inv[3] + inv[4] * wx[None, :] + inv[5] * wy[:, None]
+    gt = np.asarray(gt, dtype=np.float64)
+    inv = geo.invert_gt(gt)
+    dx = wx - gt[0]
+    dy = wy - gt[3]
+    col_x = (inv[1] * dx).astype(np.float32)
+    row_x = (inv[2] * dy).astype(np.float32)
+    col_y = (inv[4] * dx).astype(np.float32)
+    row_y = (inv[5] * dy).astype(np.float32)
+    spx = row_x[:, None] + col_x[None, :]
+    spy = row_y[:, None] + col_y[None, :]
     return spx, spy
 
 
