@@ -144,23 +144,39 @@ def run_subprocess(ncpu):
 
 def main():
     if "--scaling" in sys.argv:
-        lo_cpu, hi_cpu = 8, 32
-        lo = run_subprocess(lo_cpu)
-        hi = run_subprocess(hi_cpu)
-        eff = (lo["value"] / hi["value"]) / (hi_cpu / lo_cpu)
+        # default pair 8→32; TTR_SCALE_PAIR="2,8" keeps BOTH levels in
+        # the linear regime of the single socket's memory bus — the
+        # more faithful proxy for N→4N nodes (see BASELINE.md)
+        pair = os.environ.get("TTR_SCALE_PAIR", "8,32").split(",")
+        lo_cpu, hi_cpu = int(pair[0]), int(pair[1])
+        # single-run wall time at num_cpus=32 varies ±25% on this VM
+        # (no steal; turbo/executor nondeterminism) — interleave
+        # repeats and take medians (TTR_SCALE_REPEATS, default 3)
+        repeats = int(os.environ.get("TTR_SCALE_REPEATS", "3"))
+        los, his = [], []
+        for _ in range(repeats):
+            los.append(run_subprocess(lo_cpu))
+            his.append(run_subprocess(hi_cpu))
+        med = lambda rs: sorted(r["value"] for r in rs)[len(rs) // 2]
+        lo_t, hi_t = med(los), med(his)
+        eff = (lo_t / hi_t) / (hi_cpu / lo_cpu)
+        tiles = los[0]["tiles"]
         print(
             json.dumps(
                 {
                     "metric": "scaling_efficiency",
                     "value": round(eff, 3),
                     "unit": "ratio",
-                    "sec_lo": lo["value"],
-                    "sec_hi": hi["value"],
-                    "tiles_per_sec_lo": lo["tiles_per_sec"],
-                    "tiles_per_sec_hi": hi["tiles_per_sec"],
+                    "sec_lo": lo_t,
+                    "sec_hi": hi_t,
+                    "sec_lo_all": [r["value"] for r in los],
+                    "sec_hi_all": [r["value"] for r in his],
+                    "tiles_per_sec_lo": round(tiles / lo_t, 1),
+                    "tiles_per_sec_hi": round(tiles / hi_t, 1),
                     "cpus": [lo_cpu, hi_cpu],
-                    "tiles": lo["tiles"],
-                    "sf": lo["sf"],
+                    "repeats": repeats,
+                    "tiles": tiles,
+                    "sf": los[0]["sf"],
                 }
             )
         )
