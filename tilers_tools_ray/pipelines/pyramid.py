@@ -286,7 +286,12 @@ def _part_manifest(z, part, tiles_tbl, t0):
 def _read_level(out_dir, z, columns=None):
     import ray.data as rd
 
-    return rd.read_parquet(lineage.level_dir(out_dir, z), columns=columns)
+    # file_extensions guards against stale part-*.parquet.tmp.<pid> files
+    # left by a crashed writer: resume/merge must only see committed parts.
+    return rd.read_parquet(
+        lineage.level_dir(out_dir, z), columns=columns,
+        file_extensions=["parquet"],
+    )
 
 
 def write_pyramid(

@@ -186,22 +186,186 @@ def ivf_topk(
     return _finalize_topk(partials, k)
 
 
-def embedding_cosine_dup_pairs(emb_ds, threshold=0.98):
-    """Embedding-cosine near-dup detection: LSH-free small-table path —
-    per-batch normalized matmul against a broadcast of the (small)
-    table itself; at scale swap the broadcast side for IVF buckets.
-    Returns (vec_a, vec_b, score) pairs with vec_a < vec_b."""
-    rows = emb_ds.select_columns(["vec_id", "embedding"]).take_all()
-    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-    m = _normalize(np.stack([r["embedding"] for r in rows]))
-    s = m @ m.T
-    iu = np.triu_indices(len(ids), k=1)
-    mask = s[iu] >= threshold
-    a = ids[iu[0][mask]]
-    b = ids[iu[1][mask]]
-    # triu is over ROW POSITIONS; normalize to id order (vec_a < vec_b)
-    lo = np.minimum(a, b)
-    hi = np.maximum(a, b)
-    return pd.DataFrame(
-        {"vec_a": lo, "vec_b": hi, "score": np.round(s[iu][mask], 6)}
-    ).sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+def embedding_cosine_dup_pairs(
+    emb_ds,
+    threshold=0.98,
+    n_cells=16,
+    sample_fraction=0.5,
+    concurrency=(1, 8),
+):
+    """Embedding-cosine near-dup detection, IVF-cell-bucketed and EXACT.
+
+    Candidate generation is bucketed by IVF cell with a triangle-
+    inequality pruning bound, then every surviving cell pair is scored
+    with an exact float64 block matmul — so the output matches the
+    all-pairs SQL oracle bit-for-bit while never collecting the table
+    on the driver:
+
+      1. seeded-sample k-means-lite centroids (broadcast);
+      2. one streaming pass: per-batch cell assignment + per-cell
+         partial (count, max distance-to-centroid) → tiny driver merge
+         (one row per cell);
+      3. cell-pair pruning: on unit vectors cos ≥ t ⇔ ‖a−b‖ ≤
+         √(2−2t), so pair (i,j) can hold a qualifying pair only if
+         d(cᵢ,cⱼ) − rᵢ − rⱼ ≤ √(2−2t) (exact bound — no recall loss;
+         prunes aggressively at real dup thresholds ≥0.9, degrades to
+         distributed exact all-block-pairs for loose thresholds);
+      4. second pass: shuffle vectors by cell (groupby(cell) — ONE
+         wide exchange), pack each cell into a compact float64 block
+         row, replicate blocks to their surviving partner pairs
+         (flat_map), and score each pair group independently.
+
+    At 10¹²-image scale each cell block would be further split into
+    fixed-size sub-blocks (same pair-group mechanics); cells here are
+    small enough to ship whole. Returns (vec_a, vec_b, score) with
+    vec_a < vec_b, sorted."""
+    import pyarrow as pa
+    import ray
+
+    sample = emb_ds.random_sample(sample_fraction, seed=11).take_all()
+    cent = train_centroids(
+        np.stack([r["embedding"] for r in sample]), n_cells=n_cells
+    )
+    cref = ray.put(cent)
+    k = len(cent)
+
+    class AssignStats:
+        """Pass 1: per-batch per-cell (n, max radius) partials."""
+
+        def __init__(self, centroids_ref):
+            self.cent = ray.get(centroids_ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            vecs = _normalize(np.stack(batch["embedding"].to_numpy()))
+            sims = vecs @ self.cent.T
+            cells = np.argmax(sims, axis=1)
+            # ‖v − c‖² = 2 − 2·cos on unit vectors
+            d = np.sqrt(np.maximum(0.0, 2.0 - 2.0 * sims[np.arange(len(vecs)), cells]))
+            df = pd.DataFrame({"cell": cells, "r": d})
+            return df.groupby("cell", as_index=False).agg(
+                n=("r", "size"), r_max=("r", "max")
+            )
+
+    stats = (
+        emb_ds.map_batches(
+            AssignStats,
+            fn_constructor_kwargs={"centroids_ref": cref},
+            batch_format="pandas",
+            batch_size=4096,
+            concurrency=concurrency,
+        )
+        .to_pandas()  # tiny: ≤ n_batches × n_cells rows
+        .groupby("cell", as_index=False)
+        .agg(n=("n", "sum"), r_max=("r_max", "max"))
+    )
+    radius = np.zeros(k)
+    radius[stats["cell"].to_numpy()] = stats["r_max"].to_numpy()
+    live = set(stats["cell"].tolist())
+    dmax = float(np.sqrt(max(0.0, 2.0 - 2.0 * threshold))) + 1e-9
+    cdist = np.sqrt(
+        np.maximum(0.0, 2.0 - 2.0 * np.clip(cent @ cent.T, -1.0, 1.0))
+    )
+    survivors = [
+        (i, j)
+        for i in range(k)
+        for j in range(i, k)
+        if i in live
+        and j in live
+        and cdist[i, j] - radius[i] - radius[j] <= dmax
+    ]
+    partners = {}  # cell -> [(pair_id, role)]
+    for pid, (i, j) in enumerate(survivors):
+        partners.setdefault(i, []).append((pid, 0))
+        if j != i:
+            partners.setdefault(j, []).append((pid, 1))
+
+    class AssignCell:
+        def __init__(self, centroids_ref):
+            self.cent = ray.get(centroids_ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            vecs = _normalize(np.stack(batch["embedding"].to_numpy()))
+            return pd.DataFrame(
+                {
+                    "vec_id": batch["vec_id"].to_numpy(dtype=np.int64),
+                    "cell": np.argmax(vecs @ self.cent.T, axis=1),
+                    "vec": [v.tobytes() for v in vecs],  # float64 unit rows
+                }
+            )
+
+    assigned = emb_ds.map_batches(
+        AssignCell,
+        fn_constructor_kwargs={"centroids_ref": cref},
+        batch_format="pandas",
+        batch_size=4096,
+        concurrency=concurrency,
+    )
+
+    def pack_cell(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("vec_id")
+        ids = g["vec_id"].to_numpy(dtype=np.int64)
+        mat = b"".join(g["vec"])
+        cell = int(g["cell"].iloc[0])
+        out = []
+        for pid, role in partners.get(cell, []):
+            out.append(
+                {"pair": pid, "role": role, "ids": ids.tobytes(), "mat": mat}
+            )
+        if not out:
+            return pd.DataFrame(
+                {"pair": pd.array([], dtype="int64"),
+                 "role": pd.array([], dtype="int64"),
+                 "ids": pd.array([], dtype=object),
+                 "mat": pd.array([], dtype=object)}
+            )
+        return pd.DataFrame(out)
+
+    replicated = assigned.groupby("cell").map_groups(
+        pack_cell, batch_format="pandas"
+    )
+
+    def score_pair(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "vec_a": pd.array([], dtype="int64"),
+                "vec_b": pd.array([], dtype="int64"),
+                "score": pd.array([], dtype="float64"),
+            }
+        )
+        blocks = {}
+        for _, row in g.iterrows():
+            ids = np.frombuffer(row["ids"], dtype=np.int64)
+            mat = np.frombuffer(row["mat"], dtype=np.float64).reshape(len(ids), -1)
+            blocks[int(row["role"])] = (ids, mat)
+        if len(blocks) == 1:  # intra-cell pair (i == i)
+            ids, mat = blocks[0]
+            s = mat @ mat.T
+            iu = np.triu_indices(len(ids), k=1)
+            mask = s[iu] >= threshold
+            a, b = ids[iu[0][mask]], ids[iu[1][mask]]
+            sc = s[iu][mask]
+        else:  # cross-cell pair
+            ids_a, mat_a = blocks[0]
+            ids_b, mat_b = blocks[1]
+            s = mat_a @ mat_b.T
+            ai, bi = np.nonzero(s >= threshold)
+            a, b, sc = ids_a[ai], ids_b[bi], s[ai, bi]
+        if len(a) == 0:
+            return empty
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame({"vec_a": lo, "vec_b": hi, "score": np.round(sc, 6)})
+
+    df = (
+        replicated.groupby("pair")
+        .map_groups(score_pair, batch_format="pandas")
+        .to_pandas()  # final result: the qualifying pair list only
+    )
+    if len(df) == 0:
+        return pd.DataFrame(
+            {
+                "vec_a": pd.array([], dtype="int64"),
+                "vec_b": pd.array([], dtype="int64"),
+                "score": pd.array([], dtype="float64"),
+            }
+        )
+    return df.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)

@@ -4,15 +4,23 @@
                        first doc per group (cheap: the shuffle moves
                        (doc_id, hash) pairs, never the text).
   minhash_lsh_pairs  — shingle → minhash → band → bucket groupby →
-                       candidate pairs → exact-Jaccard verify.
-  simhash_pairs      — 64-bit simhash, banded (4×16-bit) bucketing →
-                       hamming-distance verify.
+                       candidate pairs → exact-Jaccard verify via a
+                       bucketed join of texts by doc_id.
+  simhash_pairs      — 64-bit simhash, (max_hamming+1)-band bucketing
+                       (pigeonhole-complete recall) → exact hamming
+                       verify inside the bucket reduce.
   phash_dedup        — exact perceptual-hash dedup on the images
-                       corpus (A4: groupby(phash), keep first
-                       image_id).
+                       corpus (A4: per-batch partial min + grouped
+                       Min, keep first image_id).
 
-All follow ray_guide.md "Aggregation at scale": per-batch partial
-state, tiny grouped rows through the shuffle, payloads stay put.
+Cluster shape: every stage is a map_batches partial or a coarse-keyed
+``groupby(...).map_groups`` whose kernel is vectorized numpy/pandas
+over MANY real buckets per group — the shuffle key is
+``hash(bucket) % n_coarse`` so group count stays bounded (Ray's
+grouped-apply costs ~1 ms/group of Python overhead; per-tiny-bucket
+grouping would be pathological at 10⁹ buckets) while each true bucket
+still lands wholly inside one group. No driver-side materialization
+of buckets, texts, or the embedding table anywhere in these paths.
 """
 
 from __future__ import annotations
@@ -22,25 +30,116 @@ import pandas as pd
 
 from . import text as T
 
+_MASK63 = 0x7FFFFFFFFFFFFFFF
+
+
+# ---------------------------------------------------------------------------
+# exact dedup (D3): partial min per batch → grouped Min
+# ---------------------------------------------------------------------------
+
 
 def exact_dedup(docs_ds, id_col="doc_id", text_col="text"):
     """One row per distinct text: the row with the smallest id.
     Returns columns (doc_id,) sorted — matches the SQL oracle
-    ``SELECT min(doc_id) AS doc_id ... GROUP BY md5(text)``."""
+    ``SELECT min(doc_id) AS doc_id ... GROUP BY text``.
 
-    def hash_batch(batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+    Shape: the per-batch partial min shrinks each batch to one row per
+    distinct hash BEFORE the shuffle; the grouped ``Min`` aggregate is
+    Ray's vectorized built-in (no per-group Python lambda)."""
+    from ray.data.aggregate import Min
+
+    def hash_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame(
             {
                 id_col: batch[id_col],
                 "text_hash": batch[text_col].fillna("").map(T._md5_64),
             }
         )
+        return df.groupby("text_hash", as_index=False)[id_col].min()
 
-    hashed = docs_ds.map_batches(hash_batch, batch_format="pandas")
-    kept = hashed.groupby("text_hash").map_groups(
-        lambda g: g.nsmallest(1, id_col)[[id_col]], batch_format="pandas"
+    partial = docs_ds.map_batches(hash_partial, batch_format="pandas")
+    kept = partial.groupby("text_hash").aggregate(Min(id_col, alias_name=id_col))
+    return kept.select_columns([id_col]).sort(id_col)
+
+
+def phash_dedup(images_ds):
+    """A4: exact perceptual-hash dedup over the images corpus — keep
+    the smallest image_id per phash. Shuffles (image_id, phash) only;
+    per-batch partial min + grouped Min (no per-group lambda)."""
+    from ray.data.aggregate import Min
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.groupby("phash", as_index=False)["image_id"].min()
+
+    slim = images_ds.select_columns(["image_id", "phash"])
+    partials = slim.map_batches(partial, batch_format="pandas")
+    kept = partials.groupby("phash").aggregate(
+        Min("image_id", alias_name="image_id")
     )
-    return kept.sort(id_col)
+    return kept.select_columns(["image_id", "phash"]).sort("image_id")
+
+
+# ---------------------------------------------------------------------------
+# vectorized bucket → pair kernels
+# ---------------------------------------------------------------------------
+
+
+def _pairs_in_buckets(g: pd.DataFrame, bucket_cols, carry_cols=()):
+    """All intra-bucket (doc_a, doc_b) pairs of one COARSE group, fully
+    vectorized: sort by bucket, run-length encode, combinatorial index
+    expansion in numpy (no Python loop over buckets or pairs).
+    ``carry_cols`` values are carried per side as <col>_a / <col>_b."""
+    cols = list(bucket_cols) + ["doc_id"]
+    g = g.sort_values(cols).drop_duplicates(cols)
+    n = len(g)
+    if n < 2:
+        return None
+    k = g[list(bucket_cols)].to_numpy()
+    change = np.ones(n, dtype=bool)
+    change[1:] = (k[1:] != k[:-1]).any(axis=1)
+    gid = np.cumsum(change) - 1
+    counts = np.bincount(gid)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    pos = np.arange(n) - starts[gid]
+    reps = counts[gid] - pos - 1  # partners AFTER each row in its bucket
+    total = int(reps.sum())
+    if total == 0:
+        return None
+    a_idx = np.repeat(np.arange(n), reps)
+    csum = np.concatenate([[0], np.cumsum(reps)[:-1]])
+    b_idx = np.arange(total) - csum[a_idx] + a_idx + 1
+    ids = g["doc_id"].to_numpy()
+    out = {"doc_a": ids[a_idx], "doc_b": ids[b_idx]}  # sorted ⇒ a < b
+    for c in carry_cols:
+        v = g[c].to_numpy()
+        out[f"{c}_a"] = v[a_idx]
+        out[f"{c}_b"] = v[b_idx]
+    return pd.DataFrame(out)
+
+
+def _distinct_pairs(pairs_ds, extra_cols=(), n_coarse=64):
+    """Distinct (doc_a, doc_b) across bands: coarse-key the PAIR and
+    drop duplicates inside each group (vectorized)."""
+
+    def key(batch: pd.DataFrame) -> pd.DataFrame:
+        a = batch["doc_a"].to_numpy(dtype=np.int64)
+        b = batch["doc_b"].to_numpy(dtype=np.int64)
+        batch = batch.copy()
+        # deterministic wrap-around hash of the pair
+        batch["__pc"] = ((a * 1000003 + b) & _MASK63) % n_coarse
+        return batch.drop_duplicates(["doc_a", "doc_b"])
+
+    def uniq(g: pd.DataFrame) -> pd.DataFrame:
+        cols = ["doc_a", "doc_b", *extra_cols]
+        return g.drop_duplicates(["doc_a", "doc_b"])[cols]
+
+    keyed = pairs_ds.map_batches(key, batch_format="pandas")
+    return keyed.groupby("__pc").map_groups(uniq, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH (bucketed, off-driver)
+# ---------------------------------------------------------------------------
 
 
 def minhash_signatures(docs_ds, n_hashes=64, shingle_k=3, concurrency=(1, 8)):
@@ -61,123 +160,215 @@ def minhash_lsh_pairs(
     shingle_k=3,
     jaccard_threshold=0.8,
     concurrency=(1, 8),
+    n_coarse=64,
+    join_partitions=8,
 ):
-    """Near-duplicate pairs via MinHash+LSH.
+    """Near-duplicate pairs via MinHash+LSH, end-to-end distributed.
 
-    Pipeline: signatures (actor pool) → explode to one row per band
-    (band_id, band_hash, doc_id) → groupby bucket → candidate pairs →
-    exact shingle-Jaccard verify against broadcast texts (the corpus
-    is small here; at scale the verify joins text back by doc_id).
+    Pipeline: signatures (actor pool) → vectorized explode to one row
+    per (band, band_hash, doc_id) with a coarse shuffle key → coarse
+    groupby → vectorized intra-bucket pair expansion → distinct pairs
+    (coarse pair-key groupby) → texts joined back BY doc_id (hash join;
+    candidates are the small post-LSH set, texts are never broadcast or
+    collected) → exact shingle-Jaccard verify in an actor pool.
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, sorted."""
-    import ray
-
     rows_per_band = n_hashes // bands
     sigs = minhash_signatures(docs_ds, n_hashes, shingle_k, concurrency)
 
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
-        out_band, out_hash, out_doc = [], [], []
-        for doc, sig in zip(batch["doc_id"], batch["minhash"]):
-            s = np.asarray(sig, dtype=np.int64).reshape(bands, rows_per_band)
-            for b in range(bands):
-                out_band.append(b)
-                out_hash.append(int(pd.util.hash_array(s[b]).sum()) & 0x7FFFFFFFFFFFFFFF)
-                out_doc.append(doc)
+        n = len(batch)
+        if n == 0:
+            return pd.DataFrame(
+                {
+                    "band": pd.array([], dtype="int64"),
+                    "band_hash": pd.array([], dtype="int64"),
+                    "doc_id": pd.array([], dtype="int64"),
+                    "__coarse": pd.array([], dtype="int64"),
+                }
+            )
+        m = np.array(batch["minhash"].tolist(), dtype=np.int64)
+        # elementwise value-hash of every signature slot, summed per
+        # band (uint64 wrap) — identical to hashing each band slice
+        h = pd.util.hash_array(m.ravel()).reshape(n, bands, rows_per_band)
+        bh = (h.sum(axis=2, dtype=np.uint64) & np.uint64(_MASK63)).astype(
+            np.int64
+        )
+        band = np.tile(np.arange(bands, dtype=np.int64), n)
+        bh_flat = bh.ravel()
+        doc = np.repeat(batch["doc_id"].to_numpy(dtype=np.int64), bands)
+        coarse = ((bh_flat * 31 + band) & _MASK63) % n_coarse
         return pd.DataFrame(
-            {"band": out_band, "band_hash": out_hash, "doc_id": out_doc}
+            {"band": band, "band_hash": bh_flat, "doc_id": doc, "__coarse": coarse}
         )
 
-    # bucket table = one small row per (doc, band); candidate-pair
-    # generation runs driver-side in vectorized pandas (per-group
-    # Python map_groups costs ~1 ms/group — pathological at 80k
-    # buckets). At larger-than-driver scale, swap for a groupby
-    # keyed on (band, band_hash) with the same pair kernel.
-    buckets = sigs.map_batches(explode, batch_format="pandas").to_pandas()
-    nun = buckets.groupby(["band", "band_hash"])["doc_id"].transform("nunique")
-    multi = buckets[nun > 1]
-    rows = []
-    for (_, _), g in multi.groupby(["band", "band_hash"]):
-        docs = sorted(g["doc_id"].unique())
-        for i in range(len(docs)):
-            for j in range(i + 1, len(docs)):
-                rows.append((docs[i], docs[j]))
-    if not rows:
-        return pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []})
-    cand_df = pd.DataFrame(rows, columns=["doc_a", "doc_b"]).drop_duplicates(
-        ["doc_a", "doc_b"]
+    exploded = sigs.map_batches(explode, batch_format="pandas")
+
+    def pair_kernel(g: pd.DataFrame) -> pd.DataFrame:
+        out = _pairs_in_buckets(g, ("band", "band_hash"))
+        if out is None:
+            return pd.DataFrame(
+                {
+                    "doc_a": pd.array([], dtype="int64"),
+                    "doc_b": pd.array([], dtype="int64"),
+                }
+            )
+        return out.drop_duplicates(["doc_a", "doc_b"])
+
+    raw_pairs = exploded.groupby("__coarse").map_groups(
+        pair_kernel, batch_format="pandas"
     )
-    texts = {
-        r["doc_id"]: r["text"]
-        for r in docs_ds.select_columns(["doc_id", "text"]).take_all()
-    }
-    jac = [
-        T.jaccard_tokens(texts[a], texts[b], k=shingle_k)
-        for a, b in zip(cand_df["doc_a"], cand_df["doc_b"])
-    ]
-    cand_df = cand_df.assign(jaccard=np.round(jac, 6))
-    out = cand_df[cand_df["jaccard"] >= jaccard_threshold]
-    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    cands = _distinct_pairs(raw_pairs, n_coarse=n_coarse).materialize()
+    empty = pd.DataFrame(
+        {
+            "doc_a": pd.array([], dtype="int64"),
+            "doc_b": pd.array([], dtype="int64"),
+            "jaccard": pd.array([], dtype="float64"),
+        }
+    )
+    if cands.count() == 0:
+        return empty
+
+    # verify: join text back by doc_id (shuffle join keyed on the id —
+    # the docs table is the big side and is hash-partitioned, never
+    # broadcast or collected)
+    texts = docs_ds.select_columns(["doc_id", "text"])
+    j1 = cands.join(
+        texts,
+        join_type="inner",
+        num_partitions=join_partitions,
+        on=("doc_a",),
+        right_on=("doc_id",),
+    ).rename_columns({"text": "text_a"})
+    j2 = j1.join(
+        texts,
+        join_type="inner",
+        num_partitions=join_partitions,
+        on=("doc_b",),
+        right_on=("doc_id",),
+    ).rename_columns({"text": "text_b"})
+
+    class JaccardVerify:
+        def __init__(self, k):
+            self.mh = T.MinHasher.__new__(T.MinHasher)
+            self.mh.k = k
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            sh = self.mh.shingles
+
+            def jac_one(a, b):
+                sa, sb = sh(a.lower()), sh(b.lower())
+                return len(sa & sb) / max(len(sa | sb), 1)
+
+            jac = np.fromiter(
+                (jac_one(a, b) for a, b in zip(batch["text_a"], batch["text_b"])),
+                dtype=np.float64,
+                count=len(batch),
+            )
+            out = pd.DataFrame(
+                {
+                    "doc_a": batch["doc_a"].to_numpy(dtype=np.int64),
+                    "doc_b": batch["doc_b"].to_numpy(dtype=np.int64),
+                    "jaccard": np.round(jac, 6),
+                }
+            )
+            return out[out["jaccard"] >= jaccard_threshold]
+
+    verified = j2.map_batches(
+        JaccardVerify,
+        fn_constructor_kwargs={"k": shingle_k},
+        batch_format="pandas",
+        batch_size=2048,
+        concurrency=(1, 4),
+    )
+    df = verified.to_pandas()  # final result: the near-dup pair list
+    if len(df) == 0:
+        return empty
+    return df.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
-def simhash_pairs(docs_ds, *, max_hamming=3, concurrency=(1, 8)):
-    """Near-dup pairs via 64-bit SimHash with 4×16-bit band bucketing
-    (any pair within hamming ≤ 16/band shares ≥1 band when distance ≤
-    3 by pigeonhole over 4 bands). Returns (doc_a, doc_b, hamming)."""
+# ---------------------------------------------------------------------------
+# SimHash (bucketed, pigeonhole-complete banding)
+# ---------------------------------------------------------------------------
+
+
+def simhash_pairs(docs_ds, *, max_hamming=3, concurrency=(1, 8), n_coarse=64):
+    """Near-dup pairs via 64-bit SimHash with ``max_hamming + 1``
+    bit-slice bands: any pair within hamming ≤ h differs in ≤ h bands,
+    so by pigeonhole it collides in at least one of h+1 bands —
+    complete recall at the configured distance (the earlier fixed 4×16
+    banding silently missed hamming 4-6 pairs). Exact hamming verify
+    runs inside the bucket reduce (vectorized popcount), so precision
+    is exact. Returns (doc_a, doc_b, hamming), doc_a < doc_b, sorted."""
+    n_bands = int(max_hamming) + 1
+    edges = np.linspace(0, 64, n_bands + 1).astype(np.int64)
+    widths = np.diff(edges)
     sigs = docs_ds.map_batches(
         T.SimHasher, batch_format="pandas", batch_size=1024, concurrency=concurrency
     )
 
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
-        h = batch["simhash"].to_numpy(dtype=np.int64)
-        rows = []
-        for band in range(4):
-            chunk = (h >> (band * 16)) & 0xFFFF
-            rows.append(
+        h = batch["simhash"].to_numpy(dtype=np.int64).astype(np.uint64)
+        n = len(h)
+        doc = batch["doc_id"].to_numpy(dtype=np.int64)
+        frames = []
+        for band in range(n_bands):
+            chunk = (
+                (h >> np.uint64(edges[band]))
+                & np.uint64((1 << int(widths[band])) - 1)
+            ).astype(np.int64)
+            frames.append(
                 pd.DataFrame(
                     {
-                        "band": band,
+                        "band": np.int64(band),
                         "band_hash": chunk,
-                        "doc_id": batch["doc_id"],
-                        "simhash": h,
+                        "doc_id": doc,
+                        "simhash": h.astype(np.int64),
+                        "__coarse": ((chunk * 131 + band) & _MASK63) % n_coarse,
                     }
                 )
             )
-        return pd.concat(rows, ignore_index=True)
+        return pd.concat(frames, ignore_index=True)
 
-    buckets = sigs.map_batches(explode, batch_format="pandas").to_pandas()
-    a, b, d = [], [], []
-    for (_, _), g in buckets.groupby(["band", "band_hash"]):
-        g = g.drop_duplicates("doc_id").sort_values("doc_id")
-        if len(g) < 2:
-            continue
-        docs = g["doc_id"].to_numpy()
-        hs = g["simhash"].to_numpy(dtype=np.int64)
-        for i in range(len(docs)):
-            x = np.uint64(hs[i])
-            for j in range(i + 1, len(docs)):
-                ham = bin(int(x ^ np.uint64(hs[j]))).count("1")
-                if ham <= max_hamming:
-                    a.append(docs[i])
-                    b.append(docs[j])
-                    d.append(ham)
-    df = pd.DataFrame({"doc_a": a, "doc_b": b, "hamming": d})
+    exploded = sigs.map_batches(explode, batch_format="pandas")
+
+    def pair_kernel(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "doc_a": pd.array([], dtype="int64"),
+                "doc_b": pd.array([], dtype="int64"),
+                "hamming": pd.array([], dtype="int64"),
+            }
+        )
+        out = _pairs_in_buckets(g, ("band", "band_hash"), carry_cols=("simhash",))
+        if out is None:
+            return empty
+        x = (
+            out["simhash_a"].to_numpy(dtype=np.int64)
+            ^ out["simhash_b"].to_numpy(dtype=np.int64)
+        ).astype(np.uint64)
+        ham = (
+            np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1)
+            .sum(axis=1)
+            .astype(np.int64)
+        )
+        out = pd.DataFrame(
+            {"doc_a": out["doc_a"], "doc_b": out["doc_b"], "hamming": ham}
+        )
+        out = out[out["hamming"] <= max_hamming]
+        return out.drop_duplicates(["doc_a", "doc_b"]) if len(out) else empty
+
+    raw = exploded.groupby("__coarse").map_groups(pair_kernel, batch_format="pandas")
+    distinct = _distinct_pairs(raw, extra_cols=("hamming",), n_coarse=n_coarse)
+    df = distinct.to_pandas()
     if len(df) == 0:
-        return df
-    return (
-        df.drop_duplicates(["doc_a", "doc_b"])
-        .sort_values(["doc_a", "doc_b"])
-        .reset_index(drop=True)
-    )
-
-
-def phash_dedup(images_ds):
-    """A4: exact perceptual-hash dedup over the images corpus — keep
-    the smallest image_id per phash. Shuffles (image_id, phash) only."""
-    slim = images_ds.select_columns(["image_id", "phash"])
-    kept = slim.groupby("phash").map_groups(
-        lambda g: g.sort_values("image_id").head(1)[["image_id", "phash"]],
-        batch_format="pandas",
-    )
-    return kept.sort("image_id")
+        return pd.DataFrame(
+            {
+                "doc_a": pd.array([], dtype="int64"),
+                "doc_b": pd.array([], dtype="int64"),
+                "hamming": pd.array([], dtype="int64"),
+            }
+        )
+    return df.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
 def ngram_jaccard_matrix(texts, k=3):

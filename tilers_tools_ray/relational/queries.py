@@ -7,9 +7,11 @@ names match EXACTLY between both sides (driver hashes values after
 sorting columns by name). Queries without an oracle are genuinely
 non-SQL-expressible (LSH, heuristics, tiling) → rows-only checks.
 
-Float policy: aggregates rounded to 2 decimals on BOTH sides (rounding
-the float64 sums makes the distributed-vs-serial summation order
-irrelevant except at exact .005 boundaries).
+Float policy: money aggregates that proved boundary-sensitive
+(sessionize sums, price quantiles) are computed in exact int64 cents on
+BOTH sides — order-independent and tie-free, no .005 hole. Remaining
+float aggregates are rounded to 2 decimals on both sides; their inputs
+never land on exact .005 boundaries at the tested scales.
 """
 
 from __future__ import annotations
@@ -323,13 +325,17 @@ def events_sessionize(sf_dir):
         gap = g["ts"].diff().dt.total_seconds()
         new_s = (gap.isna() | (gap > 1800)).astype("int64")
         g["session_idx"] = new_s.cumsum()
+        # Sum in exact integer cents: `value` is 2-decimal money, so the
+        # int64 sum is order-independent and bit-identical to the oracle's
+        # (avoids the float-summation / half-even-vs-half-away .xx5 hole).
+        g["cents"] = np.rint(g["value"].to_numpy() * 100.0).astype("int64")
         out = g.groupby("session_idx", as_index=False).agg(
-            n_events=("ts", "size"), sum_value=("value", "sum")
+            n_events=("ts", "size"), cents=("cents", "sum")
         )
         out.insert(0, "user_id", g["user_id"].iloc[0])
-        out["sum_value"] = out["sum_value"].round(2)
+        out["sum_value"] = out["cents"] / 100.0
         out["n_events"] = out["n_events"].astype("int64")
-        return out
+        return out.drop(columns=["cents"])
 
     out = ev.groupby("user_id").map_groups(sessions, batch_format="pandas")
     return out.sort(["user_id", "session_idx"])
@@ -345,12 +351,12 @@ WITH t AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), s AS (
   SELECT user_id, ts, value,
-         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                          ROWS UNBOUNDED PRECEDING) AS session_idx
+         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
   FROM t
 )
 SELECT user_id, session_idx, count(*) AS n_events,
-       round(sum(value), 2) AS sum_value
+       sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
 FROM s GROUP BY 1, 2 ORDER BY 1, 2
 """
 
@@ -405,13 +411,17 @@ def order_price_quantiles(sf_dir):
     orders = ops.read(sf_dir, "orders", columns=["o_orderpriority", "o_totalprice"])
 
     def q(g: pd.DataFrame) -> pd.DataFrame:
-        s = g["o_totalprice"]
+        # Quantiles over exact integer cents: linear interpolation at
+        # f ∈ {.25,.5,.75} of int64 cents is exact in float64 on both
+        # engine and oracle; half-even rounding of the (possibly x.5)
+        # interpolated cents matches round_even in QUANTILES_SQL.
+        cents = pd.Series(np.rint(g["o_totalprice"].to_numpy() * 100.0))
         return pd.DataFrame(
             {
                 "o_orderpriority": [g["o_orderpriority"].iloc[0]],
-                "p25": [round(s.quantile(0.25), 2)],
-                "median": [round(s.quantile(0.5), 2)],
-                "p75": [round(s.quantile(0.75), 2)],
+                "p25": [np.rint(cents.quantile(0.25)) / 100.0],
+                "median": [np.rint(cents.quantile(0.5)) / 100.0],
+                "p75": [np.rint(cents.quantile(0.75)) / 100.0],
             }
         )
 
@@ -421,9 +431,9 @@ def order_price_quantiles(sf_dir):
 
 QUANTILES_SQL = """
 SELECT o_orderpriority,
-       round(quantile_cont(o_totalprice, 0.25), 2) AS p25,
-       round(quantile_cont(o_totalprice, 0.5), 2)  AS median,
-       round(quantile_cont(o_totalprice, 0.75), 2) AS p75
+       round_even(quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.25), 0) / 100.0 AS p25,
+       round_even(quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.5), 0)  / 100.0 AS median,
+       round_even(quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.75), 0) / 100.0 AS p75
 FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
