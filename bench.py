@@ -49,6 +49,17 @@ CORPUS_ROWS = {"sf0.1": 25000, "sf0.01": 2000, "sf0.001": 400}
 def run_bench(sf_dir, num_cpus):
     import ray
 
+    # route the benign per-reduce "Failed to hash the schemas" warning
+    # to the ray-data.log file instead of the console (set BEFORE
+    # ray.init so workers inherit it)
+    os.environ.setdefault(
+        "RAY_DATA_LOGGING_CONFIG",
+        os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "tilers_tools_ray",
+            "data_logging.yaml",
+        ),
+    )
     ray.init(
         address="local",
         num_cpus=num_cpus,
@@ -69,7 +80,11 @@ def run_bench(sf_dir, num_cpus):
     sf_tag = os.path.basename(os.path.normpath(sf_dir))
     n = CORPUS_ROWS.get(sf_tag, 2000)
     paths = corpus.generate(
-        f"/tmp/ttr_bench_{n}", scale="bench", n_rows=n, seed=1234, use_ray=True
+        f"/tmp/ttr_bench_v2_{n}",  # v2: mixed-codec corpus (+ozf)
+        scale="bench",
+        n_rows=n,
+        seed=1234,
+        use_ray=True,
     )
     # warm the page cache AND the Ray worker pool (worker spawn +
     # imports are cluster-startup cost, not pipeline throughput — the

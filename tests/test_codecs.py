@@ -106,3 +106,80 @@ def test_phash_robust_to_lossy():
     h1, h2 = codecs.phash64(img), codecs.phash64(lossy)
     ham = bin((h1 ^ h2) & (2**64 - 1)).count("1")
     assert ham <= 4, f"phash hamming distance {ham} too large after mild loss"
+
+
+# ---------------------------------------------------------------------------
+# ozf (S6 bespoke container) + png8 (paletted output)
+# ---------------------------------------------------------------------------
+
+
+def _chart_image(h=130, w=200, seed=4):
+    """Limited-palette chart-like image (≤252 colors): posterized."""
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w, 4)).astype(np.uint8)
+    img[:, :, 0] = img[:, :, 0] // 43 * 43 + 21
+    img[:, :, 1] = img[:, :, 1] // 43 * 43 + 21
+    img[:, :, 2] = img[:, :, 2] // 37 * 37 + 18
+    img[:, :, 3] = 255
+    return img
+
+
+def test_ozf_roundtrip_lossless_on_paletted():
+    chart = _chart_image()
+    data = codecs.encode_ozf(chart)
+    assert data[:4] == b"OZF3"
+    assert np.array_equal(codecs.decode_ozf(data), chart)
+
+
+def test_ozf_odd_sizes_and_sniffing():
+    chart = np.ascontiguousarray(_chart_image()[:97, :71])
+    data = codecs.encode_image(chart, "ozf")
+    assert np.array_equal(codecs.decode_image(data), chart)  # magic sniff
+    assert np.array_equal(codecs.decode_image(data, "ozf"), chart)
+
+
+def test_ozf_scrambled_container():
+    """The palette/index section and tile streams are xor-scrambled —
+    the raw zlib magic must NOT appear at the tile offsets (the
+    descramble step is real, not a no-op)."""
+    chart = _chart_image(64, 64)
+    data = codecs.encode_ozf(chart)
+    key = data[12]
+    assert key != 0
+    # first tile begins right after header+meta; zlib magic 0x78 only
+    # appears after unscrambling
+    meta_len = 256 * 3 + 4 * (1 * 1 + 1)
+    first = data[15 + meta_len]
+    assert first != 0x78 and (first ^ key) == 0x78
+
+
+def test_ozf_quantizes_many_colors():
+    rng = np.random.default_rng(7)
+    many = rng.integers(0, 256, (96, 96, 4)).astype(np.uint8)
+    many[:, :, 3] = 255
+    back = codecs.decode_image(codecs.encode_ozf(many))
+    assert codecs.psnr(many[:, :, :3], back[:, :, :3]) >= 25.0
+
+
+def test_png8_roundtrip_and_alpha():
+    chart = _chart_image()
+    data = codecs.encode_png8(chart)
+    assert data[:8] == codecs._PNG_MAGIC
+    assert np.array_equal(codecs.decode_png(data), chart)
+    # binary transparency via tRNS slot 0
+    al = chart.copy()
+    al[:40, :, 3] = 0
+    back = codecs.decode_image(codecs.encode_png8(al))
+    assert np.array_equal(back[:, :, 3], al[:, :, 3])
+    opaque = al[:, :, 3] == 255
+    assert np.array_equal(back[opaque][:, :3], al[opaque][:, :3])
+
+
+def test_build_palette_exact_when_small():
+    img = np.zeros((8, 8, 4), np.uint8)
+    img[:, :4, 0] = 200
+    img[:, :, 3] = 255
+    pal = codecs.build_palette(img)
+    assert len(pal) == 2
+    idx = codecs.quantize_to_palette(img, pal)
+    assert np.array_equal(pal[idx], img[:, :, :3])

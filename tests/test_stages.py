@@ -192,6 +192,52 @@ def test_convert_export_import_roundtrip(
         assert np.array_equal(a, b)  # png roundtrip byte-exact
 
 
+def test_export_tree_skip_existing(ray_session, base_tiles_df, tmp_path):
+    """--noclobber equivalent: a second export with skip_existing=True
+    rewrites nothing (0 writes), keeps files byte-identical, and
+    reports the same per-zoom stats (from the writer's own rows, no
+    re-execution of the input pipeline)."""
+    import os
+
+    z_base, full_ds, df = base_tiles_df
+    sub = df.head(12)
+    keep = set(sub["tile_key"])
+    ds = full_ds.filter(lambda row: row["tile_key"] in keep)
+    root = str(tmp_path / "tree2")
+    meta1 = tileset.export_tree(ds, root, layout="xyz", fmt="png")
+    assert meta1["n_written"] == len(sub) and meta1["n_skipped"] == 0
+    mtimes = {}
+    for dirpath, _, files in os.walk(root):
+        for f in files:
+            if f.endswith(".png"):
+                p = os.path.join(dirpath, f)
+                mtimes[p] = os.stat(p).st_mtime_ns
+    meta2 = tileset.export_tree(ds, root, layout="xyz", fmt="png", skip_existing=True)
+    assert meta2["n_written"] == 0 and meta2["n_skipped"] == len(sub)
+    assert meta2["zooms"] == meta1["zooms"]
+    for p, m in mtimes.items():
+        assert os.stat(p).st_mtime_ns == m, f"rewritten: {p}"
+
+
+def test_read_level_ignores_stale_tmp(ray_session, tiny_corpus, tmp_path):
+    """A crashed writer's part-*.parquet.tmp.<pid> files must be
+    invisible to resume/stats reads (file_extensions guard)."""
+    import os
+
+    from tilers_tools_ray.pipelines import pyramid
+
+    out = str(tmp_path / "pyr")
+    pyramid.write_pyramid(tiny_corpus["images"], out, z_min=6, salt=False)
+    z = max(
+        int(d.split("=")[1]) for d in os.listdir(os.path.join(out, "tiles"))
+    )
+    n_before = pyramid.read_tiles(out, z=z).count()
+    stale = os.path.join(out, "tiles", f"z={z}", "part-9.parquet.tmp.12345")
+    with open(stale, "wb") as f:
+        f.write(b"truncated-not-parquet")
+    assert pyramid.read_tiles(out, z=z).count() == n_before
+
+
 def test_tileset_stats(ray_session, base_tiles_df):
     z_base, ds, df = base_tiles_df
     stats = tileset.tileset_stats(ds).to_pandas()
@@ -209,3 +255,54 @@ def test_tile_bounds_table(ray_session, base_tiles_df):
     for row in out.itertuples(index=False):
         minx, miny, maxx, maxy = tg.tile_bounds_merc(row.z, row.x, row.y)
         assert abs(row.minx - minx) < 1e-6 and abs(row.maxy - maxy) < 1e-6
+
+
+def test_geo_parser_and_registry(tiny_corpus):
+    """S4: ChartWorld .geo grammar — GCP solve, datum shift, border
+    ring, registry dispatch via sniffing."""
+    import numpy as np
+
+    from tilers_tools_ray.stages import georef
+
+    gt_true = [500000.0, 10.0, 0.0, 250000.0, 0.0, -10.0]
+    from tilers_tools_ray import geometry as geo
+
+    px = np.array([0.0, 800.0, 800.0, 0.0])
+    py = np.array([0.0, 0.0, 600.0, 600.0])
+    wx, wy = geo.apply_gt(np.array(gt_true), px, py)
+    shift = georef.DATUM_TABLE["FAKE-SHIFTED"]
+    lines = [";ChartWorld .geo", "Bitmap = chart01.png", "Datum = FAKE-SHIFTED",
+             "Projection = EPSG:3857"]
+    for i in range(4):
+        lines.append(
+            f"Point0{i + 1} = {px[i]}, {py[i]}, "
+            f"{wx[i] + shift[0]}, {wy[i] + shift[1]}"
+        )
+    lines += [f"Vertex0{i + 1} = {vx}, {vy}"
+              for i, (vx, vy) in enumerate([(0, 0), (800, 0), (800, 600), (0, 600)])]
+    text = "\n".join(lines)
+    assert georef.sniff_format(text) == "geo"
+    gt, srs, ring, datum = georef.parse_georef_any(text)
+    assert srs == "EPSG:3857" and datum == "FAKE-SHIFTED"
+    assert np.allclose(gt, gt_true, atol=1e-6)
+    assert ring.shape == (4, 2)
+    # malformed: too few GCPs
+    import pytest
+
+    with pytest.raises(ValueError):
+        georef.parse_geo_header("Bitmap = x.png\nPoint01 = 0,0,1,1")
+
+
+def test_unknown_srs_raises():
+    """raster must fail loudly on an SRS it cannot project rather than
+    silently treating it as mercator meters."""
+    import numpy as np
+    import pytest
+
+    from tilers_tools_ray import raster
+
+    gt = [0.0, 1.0, 0.0, 0.0, 0.0, -1.0]
+    with pytest.raises(ValueError, match="unsupported srs"):
+        raster.footprint_bbox_merc(gt, 10, 10, "EPSG:32633")
+    with pytest.raises(ValueError, match="unsupported srs"):
+        raster._source_coords(gt, "ESRI:54008", 5, np.arange(4), np.arange(4))

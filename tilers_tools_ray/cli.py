@@ -52,6 +52,7 @@ def cmd_tiler(args):
         z_min=z_min,
         resampling=args.base_resampling,
         salt="auto" if not args.no_salt else None,
+        profile=args.profile,
     )
     print(json.dumps({str(k): v for k, v in summary.items()}, indent=1))
 
@@ -147,6 +148,9 @@ def build_parser():
         default="nearest",
         choices=["nearest", "bilinear", "bicubic"],
     )
+    t.add_argument(
+        "--profile", default="mercator", choices=["mercator", "geodetic"]
+    )
     t.add_argument("--no-salt", action="store_true")
     t.set_defaults(fn=cmd_tiler)
 
@@ -160,7 +164,7 @@ def build_parser():
     c.add_argument("--out", required=True)
     c.add_argument("--from-layout", default=None, choices=[None, "xyz", "tms", "zyx", "sasplanet"])
     c.add_argument("--to-layout", default=None, choices=[None, "xyz", "tms", "zyx", "sasplanet"])
-    c.add_argument("--to-fmt", default="png", choices=["png", "raw", "dct"])
+    c.add_argument("--to-fmt", default="png", choices=["png", "raw", "dct", "png8", "ozf"])
     c.add_argument("--zoom", default=None)
     c.set_defaults(fn=cmd_convert)
 

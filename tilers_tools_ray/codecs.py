@@ -107,11 +107,13 @@ def encode_png(rgba, level=6):
 
 
 def decode_png(data):
-    """Minimal PNG decoder: 8-bit RGB/RGBA, filters 0–4. Returns RGBA."""
+    """Minimal PNG decoder: 8-bit RGB/RGBA/paletted (colortype 2/6/3
+    with PLTE + optional tRNS), filters 0–4. Returns RGBA."""
     assert data[:8] == _PNG_MAGIC, "not a PNG payload"
     pos = 8
     w = h = colortype = None
     idat = []
+    plte = trns = None
     n = len(data)
     while pos < n:
         (length,) = struct.unpack(">I", data[pos : pos + 4])
@@ -122,13 +124,17 @@ def decode_png(data):
             w, h, depth, colortype, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", payload
             )
-            if depth != 8 or colortype not in (2, 6) or interlace != 0:
+            if depth != 8 or colortype not in (2, 3, 6) or interlace != 0:
                 raise ValueError("unsupported PNG variant")
+        elif tag == b"PLTE":
+            plte = np.frombuffer(payload, dtype=np.uint8).reshape(-1, 3)
+        elif tag == b"tRNS":
+            trns = np.frombuffer(payload, dtype=np.uint8)
         elif tag == b"IDAT":
             idat.append(payload)
         elif tag == b"IEND":
             break
-    bpp = 4 if colortype == 6 else 3
+    bpp = {2: 3, 3: 1, 6: 4}[colortype]
     raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
     stride = 1 + w * bpp
     raw = raw.reshape(h, stride)
@@ -167,6 +173,19 @@ def decode_png(data):
                 raise ValueError(f"bad PNG filter {f}")
             out[r] = rec.astype(np.uint8)
             prev = out[r]
+    if colortype == 3:  # palette expansion (PNG8)
+        if plte is None:
+            raise ValueError("paletted PNG without PLTE")
+        idx = out.reshape(h, w)
+        rgba = np.empty((h, w, 4), dtype=np.uint8)
+        rgba[:, :, :3] = plte[idx]
+        if trns is not None:
+            alpha = np.full(len(plte), 255, dtype=np.uint8)
+            alpha[: len(trns)] = trns
+            rgba[:, :, 3] = alpha[idx]
+        else:
+            rgba[:, :, 3] = 255
+        return rgba
     return _ensure_rgba(out.reshape(h, w, bpp))
 
 
@@ -226,10 +245,185 @@ def decode_dct(data):
 
 
 # ---------------------------------------------------------------------------
+# palette quantization (shared by png8 + ozf — the reference's
+# --paletted path: gdal_tiler.py quantize/expand [C semantics])
+# ---------------------------------------------------------------------------
+
+
+def build_palette(rgba, max_colors=256):
+    """Deterministic ≤``max_colors`` RGB palette. Exact (lossless) when
+    the image has ≤ max_colors distinct colors; otherwise median-cut
+    over the distinct-color histogram. Returns (n, 3) uint8, sorted
+    lexicographically."""
+    px = np.asarray(rgba, dtype=np.uint8)[:, :, :3].reshape(-1, 3)
+    colors, counts = np.unique(px, axis=0, return_counts=True)
+    if len(colors) <= max_colors:
+        return colors  # np.unique is lexicographically sorted
+    boxes = [(colors, counts)]
+    while len(boxes) < max_colors:
+        # split the box with the largest (population × longest side)
+        scores = [
+            int(c.sum()) * int((b.max(axis=0) - b.min(axis=0)).max())
+            for b, c in boxes
+        ]
+        bi = int(np.argmax(scores))
+        b, c = boxes.pop(bi)
+        if len(b) == 1:  # unsplittable — put back and stop
+            boxes.append((b, c))
+            break
+        axis = int(np.argmax(b.max(axis=0) - b.min(axis=0)))
+        order = np.argsort(b[:, axis], kind="stable")
+        b, c = b[order], c[order]
+        half = np.searchsorted(np.cumsum(c), c.sum() / 2.0, side="right")
+        half = int(np.clip(half, 1, len(b) - 1))
+        boxes.append((b[:half], c[:half]))
+        boxes.append((b[half:], c[half:]))
+    pal = np.array(
+        [
+            np.round(
+                (b.astype(np.float64) * c[:, None]).sum(axis=0) / c.sum()
+            )
+            for b, c in boxes
+        ],
+        dtype=np.uint8,
+    )
+    pal = np.unique(pal, axis=0)  # dedupe + lexicographic order
+    return pal
+
+
+def quantize_to_palette(rgba, palette):
+    """Nearest-palette-index map (H, W) uint8 for an RGB(A) image."""
+    px = np.asarray(rgba, dtype=np.uint8)[:, :, :3]
+    h, w = px.shape[:2]
+    flat = px.reshape(-1, 3).astype(np.int32)
+    pal = palette.astype(np.int32)
+    # chunked (npix, ncolors) distance argmin — bounded memory
+    idx = np.empty(len(flat), dtype=np.uint8)
+    step = 65536
+    for lo in range(0, len(flat), step):
+        d = flat[lo : lo + step, None, :] - pal[None, :, :]
+        idx[lo : lo + step] = np.argmin((d * d).sum(axis=2), axis=1).astype(
+            np.uint8
+        )
+    return idx.reshape(h, w)
+
+
+# ---------------------------------------------------------------------------
+# png8 codec (paletted PNG, colortype 3; binary transparency via tRNS)
+# ---------------------------------------------------------------------------
+
+
+def encode_png8(rgba, level=6):
+    """RGB(A) uint8 → paletted PNG (colortype 3). Transparent pixels
+    (alpha < 128) map to a reserved palette slot 0 with tRNS alpha 0 —
+    the binary-alpha model of the tile pipeline (nearest cutlines)."""
+    px = np.ascontiguousarray(rgba, dtype=np.uint8)
+    h, w = px.shape[:2]
+    has_alpha = px.shape[2] == 4 and bool((px[:, :, 3] < 128).any())
+    pal = build_palette(px, max_colors=255 if has_alpha else 256)
+    idx = quantize_to_palette(px, pal)
+    if has_alpha:
+        idx = (idx + 1).astype(np.uint8)
+        idx[px[:, :, 3] < 128] = 0
+        pal = np.vstack([np.zeros(3, dtype=np.uint8), pal])
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    lines = np.zeros((h, 1 + w), dtype=np.uint8)
+    lines[:, 1:] = idx
+    chunks = [_png_chunk(b"IHDR", ihdr), _png_chunk(b"PLTE", pal.tobytes())]
+    if has_alpha:
+        chunks.append(_png_chunk(b"tRNS", b"\x00"))
+    chunks.append(_png_chunk(b"IDAT", zlib.compress(lines.tobytes(), level)))
+    chunks.append(_png_chunk(b"IEND", b""))
+    return _PNG_MAGIC + b"".join(chunks)
+
+
+# ---------------------------------------------------------------------------
+# ozf codec (S6 — the bespoke-container decode: OZF2/OZFx3 semantics,
+# ozf_decoder.py upstream: 64×64 zlib-compressed internal tiles of
+# 8-bit palette indices; OZFx3's xor-key descrambling of the header
+# and tile streams)
+# ---------------------------------------------------------------------------
+
+_OZF_MAGIC = b"OZF3"
+_OZF_TILE = 64
+
+
+def _ozf_key(w, h):
+    """Deterministic nonzero scramble key (OZFx3 derives its key from
+    a header byte; the engine derives it from the dimensions)."""
+    return ((w * 31 + h * 17) % 255) + 1
+
+
+def encode_ozf(rgba, level=6):
+    """RGB(A) uint8 → OZF-style container: palette + 64×64 internal
+    tiles, each zlib-compressed then xor-scrambled; the palette and
+    tile-offset index are xor-scrambled too. Lossless when the image
+    has ≤256 distinct colors (charts do), else palette-quantized."""
+    px = np.ascontiguousarray(rgba, dtype=np.uint8)
+    h, w = px.shape[:2]
+    key = _ozf_key(w, h)
+    pal = build_palette(px, max_colors=256)
+    idx = quantize_to_palette(px, pal)
+    T = _OZF_TILE
+    nty, ntx = (h + T - 1) // T, (w + T - 1) // T
+    tiles = []
+    for ty in range(nty):
+        for tx in range(ntx):
+            block = np.zeros((T, T), dtype=np.uint8)
+            sub = idx[ty * T : ty * T + T, tx * T : tx * T + T]
+            block[: sub.shape[0], : sub.shape[1]] = sub
+            comp = np.frombuffer(zlib.compress(block.tobytes(), level), np.uint8)
+            tiles.append(comp ^ np.uint8(key))
+    offsets = np.zeros(len(tiles) + 1, dtype=np.uint32)
+    offsets[1:] = np.cumsum([len(t) for t in tiles])
+    pal_full = np.zeros((256, 3), dtype=np.uint8)
+    pal_full[: len(pal)] = pal
+    scrambled = np.frombuffer(
+        pal_full.tobytes() + offsets.tobytes(), dtype=np.uint8
+    ) ^ np.uint8(key)
+    header = _OZF_MAGIC + struct.pack("<IIBH", w, h, key, len(tiles))
+    return header + scrambled.tobytes() + b"".join(t.tobytes() for t in tiles)
+
+
+def decode_ozf(data):
+    assert data[:4] == _OZF_MAGIC, "not an OZF3 payload"
+    w, h, key, ntiles = struct.unpack("<IIBH", data[4:15])
+    T = _OZF_TILE
+    ntx = (w + T - 1) // T
+    nty = (h + T - 1) // T
+    assert ntx * nty == ntiles, "corrupt OZF3 tile count"
+    meta_len = 256 * 3 + (ntiles + 1) * 4
+    meta = np.frombuffer(data, np.uint8, count=meta_len, offset=15) ^ np.uint8(key)
+    pal = meta[: 256 * 3].reshape(256, 3)
+    offsets = meta[256 * 3 :].view(np.uint32)
+    base = 15 + meta_len
+    idx = np.zeros((nty * T, ntx * T), dtype=np.uint8)
+    for t in range(ntiles):
+        raw = np.frombuffer(
+            data, np.uint8, count=int(offsets[t + 1] - offsets[t]),
+            offset=base + int(offsets[t]),
+        ) ^ np.uint8(key)
+        block = np.frombuffer(zlib.decompress(raw.tobytes()), np.uint8).reshape(T, T)
+        ty, tx = divmod(t, ntx)
+        idx[ty * T : (ty + 1) * T, tx * T : (tx + 1) * T] = block
+    idx = idx[:h, :w]
+    out = np.empty((h, w, 4), dtype=np.uint8)
+    out[:, :, :3] = pal[idx]
+    out[:, :, 3] = 255
+    return out
+
+
+# ---------------------------------------------------------------------------
 # dispatch
 # ---------------------------------------------------------------------------
 
-ENCODERS = {"raw": encode_raw, "png": encode_png, "dct": encode_dct}
+ENCODERS = {
+    "raw": encode_raw,
+    "png": encode_png,
+    "dct": encode_dct,
+    "png8": encode_png8,
+    "ozf": encode_ozf,
+}
 FORMATS = tuple(ENCODERS)
 
 
@@ -243,7 +437,9 @@ def decode_image(data, fmt=None):
         return decode_raw(data)
     if fmt == "dct" or data[:4] == _DCT_MAGIC:
         return decode_dct(data)
-    if fmt == "png" or data[:8] == _PNG_MAGIC:
+    if fmt == "ozf" or data[:4] == _OZF_MAGIC:
+        return decode_ozf(data)
+    if fmt in ("png", "png8") or data[:8] == _PNG_MAGIC:
         return decode_png(data)
     raise ValueError(f"cannot sniff image format (fmt={fmt!r})")
 

@@ -162,7 +162,7 @@ def gen_row(i, seed, hot_pts, hot_w):
     rng = np.random.default_rng([seed, i])
     w = int(rng.choice([64, 128, 256]))
     h = int(rng.choice([64, 128, 256]))
-    fmt = str(rng.choice(["raw", "png", "dct", "dct"]))
+    fmt = str(rng.choice(["raw", "png", "dct", "dct", "ozf"]))
     if i % DUP_PERIOD == DUP_PERIOD - 1 and i > 0:
         # duplicate predecessor's content (dedup fixture A4)
         prev = gen_row(i - 1, seed, hot_pts, hot_w)
@@ -172,6 +172,13 @@ def gen_row(i, seed, hot_pts, hot_w):
         row["zorder"] = i
         return row
     pixels = synth_pixels(rng, h, w)
+    if fmt == "ozf":
+        # chart-like limited palette (6×6×7 = 252 colors): the OZF
+        # container is paletted, so posterized sources round-trip
+        # losslessly (the bespoke-binary decode is what S6 exercises)
+        pixels[:, :, 0] = pixels[:, :, 0] // 43 * 43 + 21
+        pixels[:, :, 1] = pixels[:, :, 1] // 43 * 43 + 21
+        pixels[:, :, 2] = pixels[:, :, 2] // 37 * 37 + 18
     data = codecs.encode_image(pixels, fmt)
     decoded = codecs.decode_image(data, fmt)
     gt, srs = _georef(rng, w, h, hot_pts, hot_w)

@@ -66,25 +66,35 @@ def images_dataset(images_path, columns=None, num_blocks=None):
     )
 
 
-def _effective_res(batch: pa.Table) -> pa.Table:
+def _effective_res(batch: pa.Table, profile="mercator") -> pa.Table:
+    """Per-image source resolution in dest-PROFILE units (meters for
+    mercator, degrees for geodetic)."""
     gts = batch.column("gt").to_pylist()
     srs = batch.column("srs").to_pylist()
     res = np.empty(len(gts))
+    deg_per_m = 180.0 / tg.ORIGIN
     for i, g in enumerate(gts):
         r = abs(g[1])
-        if srs[i] == "EPSG:4326":
-            r *= tg.ORIGIN / 180.0
+        if profile == "geodetic":
+            if srs[i] != "EPSG:4326":
+                r *= deg_per_m
+        elif srs[i] == "EPSG:4326":
+            r /= deg_per_m
         res[i] = r
     return pa.table({"res": pa.array(res, pa.float64())})
 
 
-def auto_zoom(images_path):
+def auto_zoom(images_path, profile="mercator"):
     """Job-wide base zoom: finest per-image optimal zoom (distributed
     min-reduce over the georef columns only — no pixel decode)."""
     ds = images_dataset(images_path, columns=["gt", "srs"])
-    min_res = ds.map_batches(_effective_res, batch_format="pyarrow").min("res")
+    min_res = ds.map_batches(
+        lambda b, _p=profile: _effective_res(b, _p), batch_format="pyarrow"
+    ).min("res")
     if min_res is None:
         raise ValueError(f"empty images table: {images_path}")
+    if profile == "geodetic":
+        return int(tg.auto_base_zoom_geodetic(min_res))
     return int(tg.auto_base_zoom(min_res))
 
 
@@ -106,13 +116,13 @@ def default_z_part(z):
     return max(z - 4, 0)
 
 
-def census_parts(images_path, z_base, z_part, batch_size=512):
+def census_parts(images_path, z_base, z_part, batch_size=512, profile="mercator"):
     """Georef-only census: fragments per part (upper bound — cutline
     drops are not modeled). Small result → driver. Feeds the salt plan
     (§4.2) and the skew report."""
     ds = images_dataset(images_path, columns=["gt", "srs", "w", "h"])
     parts = ds.map_batches(
-        tiling.TouchedParts(z_base, z_part),
+        tiling.TouchedParts(z_base, z_part, profile=profile),
         batch_format="pyarrow",
         batch_size=batch_size,
     )
@@ -142,6 +152,7 @@ def fragments_dataset(
     done_parts=None,
     batch_size=32,
     concurrency=None,
+    profile="mercator",
 ):
     """images → fragment rows (the pre-shuffle fan-out stage)."""
     import ray
@@ -171,6 +182,7 @@ def fragments_dataset(
             "salt_plan": salt_ref,
             "n_zorder": n_zorder,
             "done_parts": done_ref,
+            "profile": profile,
         },
         batch_format="pyarrow",
         batch_size=batch_size,
@@ -189,10 +201,11 @@ def base_tiles(
     n_zorder=1,
     batch_size=16,
     concurrency=None,
+    profile="mercator",
 ):
     """Pure (no side effects) base-tile Dataset — tests / entry()."""
     if z_base is None:
-        z_base = auto_zoom(images_path)
+        z_base = auto_zoom(images_path, profile=profile)
     if z_part is None:
         z_part = default_z_part(z_base)
     frags = fragments_dataset(
@@ -204,6 +217,7 @@ def base_tiles(
         n_zorder=n_zorder,
         batch_size=batch_size,
         concurrency=concurrency,
+        profile=profile,
     )
     if salt_plan:
         partials = frags.groupby(["part", "salt"]).map_groups(
@@ -306,14 +320,19 @@ def write_pyramid(
     salt_target=400,
     batch_size=16,
     concurrency=None,
+    profile="mercator",
 ):
     """Full checkpointed pyramid build. Returns the job summary (A5).
+
+    ``profile`` selects the dest tile grid (mercator | geodetic —
+    gdal_tiler's profile option; the cut/composite/overview machinery
+    is profile-agnostic once fragments carry tile keys).
 
     Resume semantics: committed (level, part) partitions are skipped —
     fragment emission prunes done parts (an image whose parts are all
     committed is never decoded), and completed levels short-circuit."""
     if z_base is None:
-        z_base = auto_zoom(images_path)
+        z_base = auto_zoom(images_path, profile=profile)
     os.makedirs(out_dir, exist_ok=True)
     # --- base level --------------------------------------------------------
     if not lineage.level_is_complete(out_dir, z_base):
@@ -321,8 +340,22 @@ def write_pyramid(
         done = lineage.done_parts(out_dir, z_base)
         salt_plan = None
         n_zorder = 1
+        # The salted partial-composite-then-merge path is byte-exact
+        # only for NEAREST resampling (binary fragment alpha makes the
+        # composite associative); bilinear/bicubic fragments carry
+        # fractional alpha, where per-stage uint8 rounding would make
+        # salted != unsalted. Auto-salting therefore degrades to the
+        # unsalted single-stage fold for non-nearest kernels.
+        if resampling != "nearest":
+            if isinstance(salt, dict):
+                raise ValueError(
+                    "explicit salt plan requires resampling='nearest' "
+                    "(salted merge is not byte-exact for fractional-alpha "
+                    f"fragments; got resampling={resampling!r})"
+                )
+            salt = False
         if salt == "auto" or salt is True:
-            census = census_parts(images_path, z_base, z_part)
+            census = census_parts(images_path, z_base, z_part, profile=profile)
             salt_plan = make_salt_plan(census, salt_threshold, salt_target)
             n_zorder = _count_rows(images_path)
         elif isinstance(salt, dict):
@@ -337,6 +370,7 @@ def write_pyramid(
             done_parts=done,
             batch_size=batch_size,
             concurrency=concurrency,
+            profile=profile,
         )
         if salt_plan:
             partials = frags.groupby(["part", "salt"]).map_groups(

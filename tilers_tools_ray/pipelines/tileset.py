@@ -112,23 +112,44 @@ def with_layout_paths(tiles_ds, layout="xyz", ext="png"):
     return tiles_ds.map_batches(add_path, batch_format="pyarrow")
 
 
-def export_tree(tiles_ds, root, *, layout="xyz", fmt="png", concurrency=(1, 8)):
+def export_tree(
+    tiles_ds,
+    root,
+    *,
+    layout="xyz",
+    fmt="png",
+    skip_existing=False,
+    concurrency=(1, 8),
+):
     """Write a real tile tree ``root/z/x/y.ext`` (+ tilemap.json
     sidecar). The writer is a side-effect map_batches stage returning
-    (path, n_bytes) rows; consume its count to run it."""
+    (z, x, y, path, n_bytes, wrote) rows; the upstream pipeline
+    executes exactly ONCE — the tilemap stats are aggregated from the
+    writer's own output rows, never from a re-run of the input.
+
+    ``skip_existing=True`` is the ``--noclobber`` resume path: a tile
+    whose destination file already exists is neither re-encoded nor
+    rewritten (its row reports ``wrote=0``)."""
 
     # stateless task (NOT an actor pool): a second fixed actor pool
     # behind the shuffle can starve the executor at low CPU counts —
     # idle actors hold their CPUs while the sort they feed on waits
+    ext = "png" if fmt == "png8" else fmt  # paletted PNG is still .png
+
     def write_tiles(batch: pa.Table) -> pa.Table:
         zs = batch.column("z").to_pylist()
         xs = batch.column("x").to_pylist()
         ys = batch.column("y").to_pylist()
         pix = batch.column("pixels").to_pylist()
-        out_paths, out_sz = [], []
+        out_paths, out_sz, out_wrote = [], [], []
         for z, x, y, p in zip(zs, xs, ys, pix):
-            rel = tg.coord_to_path(z, x, y, layout=layout, ext=fmt)
+            rel = tg.coord_to_path(z, x, y, layout=layout, ext=ext)
             dest = os.path.join(root, rel)
+            if skip_existing and os.path.exists(dest):
+                out_paths.append(rel)
+                out_sz.append(os.path.getsize(dest))
+                out_wrote.append(0)
+                continue
             os.makedirs(os.path.dirname(dest), exist_ok=True)
             blob = codecs.encode_image(tiling._np_frag(p), fmt)
             tmp = dest + f".tmp.{os.getpid()}"
@@ -137,24 +158,32 @@ def export_tree(tiles_ds, root, *, layout="xyz", fmt="png", concurrency=(1, 8)):
             os.replace(tmp, dest)
             out_paths.append(rel)
             out_sz.append(len(blob))
+            out_wrote.append(1)
         return pa.table(
             {
+                "z": batch.column("z"),
+                "x": batch.column("x"),
+                "y": batch.column("y"),
                 "path": pa.array(out_paths, pa.string()),
                 "n_bytes": pa.array(out_sz, pa.int64()),
+                "wrote": pa.array(out_wrote, pa.int64()),
             }
         )
 
     os.makedirs(root, exist_ok=True)
     written = tiles_ds.map_batches(
         write_tiles, batch_format="pyarrow", batch_size=64
-    )
+    ).materialize()  # single execution; rows are tiny (one per tile)
+    stats = tileset_stats(written).to_pandas()
+    n_written = int(written.sum("wrote") or 0)
     n = written.count()
-    stats = tileset_stats(tiles_ds).to_pandas()
     meta = {
         "layout": layout,
         "fmt": fmt,
         "tile_size": tg.TILE_SIZE,
         "n_tiles": int(n),
+        "n_written": n_written,
+        "n_skipped": int(n) - n_written,
         "zooms": {
             int(r.z): {
                 "count": int(r.n_tiles),
@@ -218,7 +247,7 @@ def read_tile_tree(root, layout="xyz"):
     import ray.data as rd
 
     ds = rd.read_binary_files(
-        root, include_paths=True, file_extensions=["png", "raw", "dct"]
+        root, include_paths=True, file_extensions=["png", "raw", "dct", "ozf"]
     )
     rootp = os.path.abspath(root)
 

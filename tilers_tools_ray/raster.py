@@ -59,9 +59,39 @@ def parse_wkb_polygon(data):
 
 _DEG_TO_MERC_X = tg.ORIGIN / 180.0
 
+#: the SRS values the pure-numpy warp path understands. The reference
+#: accepts any proj4 SRS by delegating to GDAL; this engine has no
+#: projection library, so anything else must fail loudly instead of
+#: being silently treated as mercator meters.
+SUPPORTED_SRS = ("EPSG:3857", "EPSG:900913", "EPSG:4326")
+
+
+def check_srs(srs):
+    if srs not in SUPPORTED_SRS:
+        raise ValueError(
+            f"unsupported srs {srs!r}: this engine implements "
+            f"{SUPPORTED_SRS} only (the reference delegates arbitrary "
+            "SRS to GDAL; add a projection kernel to extend)"
+        )
+    return srs
+
+
+def _to_profile_units(wx, wy, srs, profile):
+    """Source-SRS world coords → dest-profile units (merc meters for
+    the mercator profile, degrees for geodetic)."""
+    check_srs(srs)
+    if profile == "geodetic":
+        if srs == "EPSG:4326":
+            return wx, wy
+        return tg.merc_to_lonlat(wx, wy)
+    if srs == "EPSG:4326":
+        return tg.lonlat_to_merc(wx, wy)
+    return wx, wy
+
 
 def source_to_merc_corners(gt, w, h, srs):
     """Source image corner pixels → mercator coords (4×2 array)."""
+    check_srs(srs)
     px = np.array([0.0, w, w, 0.0])
     py = np.array([0.0, 0.0, h, h])
     wx, wy = geo.apply_gt(np.asarray(gt, dtype=np.float64), px, py)
@@ -75,10 +105,22 @@ def footprint_bbox_merc(gt, w, h, srs):
     return c[:, 0].min(), c[:, 1].min(), c[:, 0].max(), c[:, 1].max()
 
 
-def base_tiles_for_image(gt, w, h, srs, z):
-    """XYZ tiles at zoom z intersecting the image footprint bbox."""
-    minx, miny, maxx, maxy = footprint_bbox_merc(gt, w, h, srs)
-    return tg.tiles_overlapping_bbox(minx, miny, maxx, maxy, z)
+def footprint_bbox_profile(gt, w, h, srs, profile="mercator"):
+    """Footprint bbox in dest-profile units (meters or degrees)."""
+    px = np.array([0.0, w, w, 0.0])
+    py = np.array([0.0, 0.0, h, h])
+    wx, wy = geo.apply_gt(np.asarray(gt, dtype=np.float64), px, py)
+    wx, wy = _to_profile_units(wx, wy, srs, profile)
+    return wx.min(), wy.min(), wx.max(), wy.max()
+
+
+def base_tiles_for_image(gt, w, h, srs, z, profile="mercator"):
+    """Tiles at zoom z intersecting the image footprint bbox, in the
+    dest profile's grid."""
+    bb = footprint_bbox_profile(gt, w, h, srs, profile)
+    if profile == "geodetic":
+        return tg.tiles_overlapping_bbox_geodetic(*bb, z)
+    return tg.tiles_overlapping_bbox(*bb, z)
 
 
 # ---------------------------------------------------------------------------
@@ -86,11 +128,12 @@ def base_tiles_for_image(gt, w, h, srs, z):
 # ---------------------------------------------------------------------------
 
 
-def _source_coords(gt, srs, z, gx, gy):
+def _source_coords(gt, srs, z, gx, gy, profile="mercator"):
     """Dest global-pixel indices (1-D cols ``gx``, 1-D rows ``gy``) →
-    source pixel coords (2-D spx, spy) via separable broadcast: the
-    mercator→lonlat conversion is axis-separable and the affine is
-    linear, so no full meshgrid is ever materialized.
+    source pixel coords (2-D spx, spy) via separable broadcast: both
+    profile→source-SRS conversions (mercator↔lonlat) are axis-
+    separable and the affine is linear, so no full meshgrid is ever
+    materialized.
 
     The 1-D terms are computed in float64 in the CANCELLATION-FREE
     form spx = inv1·(wx−gt0) + inv2·(wy−gt3) (world coords translated
@@ -100,15 +143,27 @@ def _source_coords(gt, srs, z, gx, gy):
     float32 keeps ~2·10⁻⁴ px — far below the half-pixel that could
     flip a nearest-neighbor sample — at HALF the memory bandwidth of
     the biggest arrays in the pipeline."""
-    n = 1 << int(z)
-    res = 2.0 * tg.ORIGIN / (TILE * n)
-    mx = (np.asarray(gx, dtype=np.float64) + 0.5) * res - tg.ORIGIN
-    my = tg.ORIGIN - (np.asarray(gy, dtype=np.float64) + 0.5) * res
-    if srs == "EPSG:4326":
-        wx = np.degrees(mx / tg.EARTH_RADIUS)
-        wy = np.degrees(2.0 * np.arctan(np.exp(my / tg.EARTH_RADIUS)) - np.pi / 2.0)
+    check_srs(srs)
+    if profile == "geodetic":
+        res = tg.geodetic_resolution(z)
+        lon = (np.asarray(gx, dtype=np.float64) + 0.5) * res - 180.0
+        lat = 90.0 - (np.asarray(gy, dtype=np.float64) + 0.5) * res
+        if srs == "EPSG:4326":
+            wx, wy = lon, lat
+        else:
+            wx, wy = tg.lonlat_to_merc(lon, lat)
     else:
-        wx, wy = mx, my
+        n = 1 << int(z)
+        res = 2.0 * tg.ORIGIN / (TILE * n)
+        mx = (np.asarray(gx, dtype=np.float64) + 0.5) * res - tg.ORIGIN
+        my = tg.ORIGIN - (np.asarray(gy, dtype=np.float64) + 0.5) * res
+        if srs == "EPSG:4326":
+            wx = np.degrees(mx / tg.EARTH_RADIUS)
+            wy = np.degrees(
+                2.0 * np.arctan(np.exp(my / tg.EARTH_RADIUS)) - np.pi / 2.0
+            )
+        else:
+            wx, wy = mx, my
     gt = np.asarray(gt, dtype=np.float64)
     inv = geo.invert_gt(gt)
     dx = wx - gt[0]
@@ -216,7 +271,8 @@ def _apply_mask(frag, spx, spy, cutline, inb, w, h):
     return frag
 
 
-def cut_fragment(pixels, gt, srs, cutline, z, x, y, resampling="nearest"):
+def cut_fragment(pixels, gt, srs, cutline, z, x, y, resampling="nearest",
+                 profile="mercator"):
     """Render source ``pixels`` (H×W×4 RGBA) into dest tile (z, x, y).
 
     Returns a 256×256×4 uint8 RGBA fragment (alpha 0 where the tile is
@@ -229,7 +285,7 @@ def cut_fragment(pixels, gt, srs, cutline, z, x, y, resampling="nearest"):
     h, w = pixels.shape[:2]
     gx = x * TILE + np.arange(TILE, dtype=np.float64)
     gy = y * TILE + np.arange(TILE, dtype=np.float64)
-    spx, spy = _source_coords(gt, srs, z, gx, gy)
+    spx, spy = _source_coords(gt, srs, z, gx, gy, profile)
     frag, inb = _sample(pixels, spx, spy, resampling)
     frag = _apply_mask(frag, spx, spy, cutline, inb, w, h)
     if not frag[:, :, 3].any():
@@ -237,28 +293,33 @@ def cut_fragment(pixels, gt, srs, cutline, z, x, y, resampling="nearest"):
     return frag
 
 
-def dest_pixel_window(gt, w, h, srs, z, margin=2):
+def dest_pixel_window(gt, w, h, srs, z, margin=2, profile="mercator"):
     """Global dest-pixel bbox [gx0, gx1) × [gy0, gy1) that bounds the
     image footprint at zoom z, from 65-point sampling of each source
     edge (+``margin`` px). Exact for affine sources (corners bound the
     parallelogram); the sampling covers the mild edge curvature of
-    EPSG:4326 sources."""
+    cross-SRS sources."""
     t = np.linspace(0.0, 1.0, 65)
     edge_px = np.concatenate([t * w, np.full(65, float(w)), (1 - t) * w, np.zeros(65)])
     edge_py = np.concatenate([np.zeros(65), t * h, np.full(65, float(h)), (1 - t) * h])
     wx, wy = geo.apply_gt(np.asarray(gt, dtype=np.float64), edge_px, edge_py)
-    if srs == "EPSG:4326":
-        wx, wy = tg.lonlat_to_merc(wx, wy)
-    dpx, dpy = tg.merc_to_pixel(wx, wy, z)
-    world = TILE * (1 << int(z))
-    gx0 = int(np.clip(np.floor(dpx.min()) - margin, 0, world))
-    gx1 = int(np.clip(np.ceil(dpx.max()) + margin, 0, world))
-    gy0 = int(np.clip(np.floor(dpy.min()) - margin, 0, world))
-    gy1 = int(np.clip(np.ceil(dpy.max()) + margin, 0, world))
+    wx, wy = _to_profile_units(wx, wy, srs, profile)
+    if profile == "geodetic":
+        dpx, dpy = tg.lonlat_to_pixel_geodetic(wx, wy, z)
+        nx, ny = tg.grid_dims("geodetic", z)
+        world_x, world_y = TILE * nx, TILE * ny
+    else:
+        dpx, dpy = tg.merc_to_pixel(wx, wy, z)
+        world_x = world_y = TILE * (1 << int(z))
+    gx0 = int(np.clip(np.floor(dpx.min()) - margin, 0, world_x))
+    gx1 = int(np.clip(np.ceil(dpx.max()) + margin, 0, world_x))
+    gy0 = int(np.clip(np.floor(dpy.min()) - margin, 0, world_y))
+    gy1 = int(np.clip(np.ceil(dpy.max()) + margin, 0, world_y))
     return gx0, gx1, gy0, gy1
 
 
-def warp_image_to_base(pixels, gt, srs, cutline, z, resampling="nearest"):
+def warp_image_to_base(pixels, gt, srs, cutline, z, resampling="nearest",
+                       profile="mercator"):
     """Warp the WHOLE image once into its dest-pixel window at zoom z
     (gdal_tiler's strategy: warp per map, window per tile [C]).
 
@@ -268,12 +329,12 @@ def warp_image_to_base(pixels, gt, srs, cutline, z, resampling="nearest"):
     slice time). One coordinate transform per image, sized to the
     pixels the image can actually touch."""
     h, w = pixels.shape[:2]
-    gx0, gx1, gy0, gy1 = dest_pixel_window(gt, w, h, srs, z)
+    gx0, gx1, gy0, gy1 = dest_pixel_window(gt, w, h, srs, z, profile=profile)
     if gx1 <= gx0 or gy1 <= gy0:
         return gx0, gy0, np.zeros((0, 0, 4), dtype=np.uint8)
     gx = np.arange(gx0, gx1, dtype=np.float64)
     gy = np.arange(gy0, gy1, dtype=np.float64)
-    spx, spy = _source_coords(gt, srs, z, gx, gy)
+    spx, spy = _source_coords(gt, srs, z, gx, gy, profile)
     warped, inb = _sample(pixels, spx, spy, resampling)
     warped = _apply_mask(warped, spx, spy, cutline, inb, w, h)
     return gx0, gy0, warped
@@ -349,7 +410,8 @@ def downsample_children(children):
 
 
 def emit_fragments_for_image(
-    pixels, gt, srs, cutline, zooms, resampling="nearest", only_tiles=None
+    pixels, gt, srs, cutline, zooms, resampling="nearest", only_tiles=None,
+    profile="mercator",
 ):
     """Yield (z, x, y, fragment) for every base-zoom tile the image
     covers. ``zooms`` is the list of BASE zooms to cut at (normally one
@@ -360,7 +422,7 @@ def emit_fragments_for_image(
     one transform per tile."""
     for z in zooms:
         gx0, gy0, warped = warp_image_to_base(
-            pixels, gt, srs, cutline, z, resampling
+            pixels, gt, srs, cutline, z, resampling, profile=profile
         )
         hh, ww = warped.shape[:2]
         if hh == 0 or ww == 0:

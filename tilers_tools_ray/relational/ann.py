@@ -165,7 +165,13 @@ def ivf_topk(
     quantizer on a seeded sample, broadcasts centroids + queries."""
     import ray
 
-    sample = emb_ds.random_sample(sample_fraction, seed=11).take_all()
+    # sort the sample by id: take_all() block order is execution-order-
+    # dependent, and k-means-lite init indexes into the sample — the
+    # sort makes centroids (hence results) run-deterministic
+    sample = sorted(
+        emb_ds.random_sample(sample_fraction, seed=11).take_all(),
+        key=lambda r: r["vec_id"],
+    )
     cent = train_centroids(
         np.stack([r["embedding"] for r in sample]), n_cells=n_cells
     )
@@ -222,7 +228,10 @@ def embedding_cosine_dup_pairs(
     import pyarrow as pa
     import ray
 
-    sample = emb_ds.random_sample(sample_fraction, seed=11).take_all()
+    sample = sorted(
+        emb_ds.random_sample(sample_fraction, seed=11).take_all(),
+        key=lambda r: r["vec_id"],
+    )  # order-deterministic centroid init (see ivf_topk)
     cent = train_centroids(
         np.stack([r["embedding"] for r in sample]), n_cells=n_cells
     )
@@ -320,9 +329,11 @@ def embedding_cosine_dup_pairs(
             )
         return pd.DataFrame(out)
 
+    # pin the packed/replicated cell blocks before the pair groupby
+    # (Ray 2.49: chained all-to-alls over a lazy boundary thrash)
     replicated = assigned.groupby("cell").map_groups(
         pack_cell, batch_format="pandas"
-    )
+    ).materialize()
 
     def score_pair(g: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(

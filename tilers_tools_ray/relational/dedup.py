@@ -48,16 +48,32 @@ def exact_dedup(docs_ds, id_col="doc_id", text_col="text"):
     Ray's vectorized built-in (no per-group Python lambda)."""
     from ray.data.aggregate import Min
 
-    def hash_partial(batch: pd.DataFrame) -> pd.DataFrame:
+    import pyarrow as pa
+
+    def hash_partial(batch: pd.DataFrame) -> pa.Table:
         df = pd.DataFrame(
             {
                 id_col: batch[id_col],
                 "text_hash": batch[text_col].fillna("").map(T._md5_64),
             }
         )
-        return df.groupby("text_hash", as_index=False)[id_col].min()
+        g = df.groupby("text_hash", as_index=False)[id_col].min()
+        # ARROW out: Ray 2.49's grouped aggregate over pandas blocks
+        # falls into a per-group Python path (~1.5 ms/group — 150 s at
+        # 1e5 groups); over arrow blocks it is vectorized (~6 s).
+        return pa.table(
+            {
+                "text_hash": g["text_hash"].to_numpy(),
+                id_col: g[id_col].to_numpy(),
+            }
+        )
 
-    partial = docs_ds.map_batches(hash_partial, batch_format="pandas")
+    # materialize the SHRUNK partial set before the grouped aggregate:
+    # on Ray 2.49 an Aggregate whose lazy input chain contains another
+    # all-to-all re-executes/thrashes (measured 9x wall blowup at 1e5
+    # groups); the partial is one row per distinct hash per block, so
+    # pinning it in the object store is the cheap side of the shuffle.
+    partial = docs_ds.map_batches(hash_partial, batch_format="pandas").materialize()
     kept = partial.groupby("text_hash").aggregate(Min(id_col, alias_name=id_col))
     return kept.select_columns([id_col]).sort(id_col)
 
@@ -68,11 +84,21 @@ def phash_dedup(images_ds):
     per-batch partial min + grouped Min (no per-group lambda)."""
     from ray.data.aggregate import Min
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch.groupby("phash", as_index=False)["image_id"].min()
+    import pyarrow as pa
+
+    def partial(batch: pd.DataFrame) -> pa.Table:
+        g = batch.groupby("phash", as_index=False)["image_id"].min()
+        # arrow out — pandas-block aggregates hit a per-group slow path
+        return pa.table(
+            {
+                "phash": g["phash"].to_numpy(),
+                "image_id": g["image_id"].to_numpy(dtype=object),
+            }
+        )
 
     slim = images_ds.select_columns(["image_id", "phash"])
-    partials = slim.map_batches(partial, batch_format="pandas")
+    # materialize before the aggregate — see exact_dedup for why
+    partials = slim.map_batches(partial, batch_format="pandas").materialize()
     kept = partials.groupby("phash").aggregate(
         Min("image_id", alias_name="image_id")
     )
@@ -133,7 +159,9 @@ def _distinct_pairs(pairs_ds, extra_cols=(), n_coarse=64):
         cols = ["doc_a", "doc_b", *extra_cols]
         return g.drop_duplicates(["doc_a", "doc_b"])[cols]
 
-    keyed = pairs_ds.map_batches(key, batch_format="pandas")
+    # pairs come out of a groupby (all-to-all); pin the tiny keyed set
+    # before the second groupby (Ray 2.49 chained-all-to-all pathology)
+    keyed = pairs_ds.map_batches(key, batch_format="pandas").materialize()
     return keyed.groupby("__pc").map_groups(uniq, batch_format="pandas")
 
 

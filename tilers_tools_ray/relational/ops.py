@@ -98,8 +98,8 @@ def bucket_join(left_ds, right_ds, on, *, n_buckets=32, how="inner"):
     inside each group. Requires the two sides' non-key column names to
     be disjoint (true for TPC-H-style schemas)."""
     key = on if isinstance(on, str) else on[0]
-    lcols = [f.name for f in left_ds.schema().base_schema]
-    rcols = [f.name for f in right_ds.schema().base_schema]
+    lcols = list(left_ds.schema().names)
+    rcols = list(right_ds.schema().names)
     shared = [c for c in lcols if c in rcols]
     assert shared == ([on] if isinstance(on, str) else list(on)), (
         f"bucket_join needs disjoint non-key columns, shared={shared}"
@@ -109,12 +109,16 @@ def bucket_join(left_ds, right_ds, on, *, n_buckets=32, how="inner"):
     def tag(side, have):
         def fn(batch: pd.DataFrame) -> pd.DataFrame:
             k = batch[key].to_numpy()
+            if np.issubdtype(k.dtype, np.integer):
+                bucket = np.abs(k.astype(np.int64)) % n_buckets
+            else:  # strings / other: deterministic value hash
+                bucket = (pd.util.hash_array(k) % n_buckets).astype(np.int64)
             batch = batch.copy()
             for c in all_cols:
                 if c not in have:
                     batch[c] = None
             batch = batch[all_cols]
-            batch["__bucket"] = np.abs(k.astype(np.int64)) % n_buckets
+            batch["__bucket"] = bucket
             batch["__side"] = side
             return batch
 

@@ -109,6 +109,13 @@ def q3_top_revenue_orders(sf_dir):
             self.keys = ray.get(okeys_ref)
 
         def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            if len(self.keys) == 0:  # no qualifying customers anywhere
+                return pd.DataFrame(
+                    {
+                        "l_orderkey": pd.array([], dtype="int64"),
+                        "revenue": pd.array([], dtype="float64"),
+                    }
+                )
             idx = np.searchsorted(self.keys, b["l_orderkey"].to_numpy())
             idx = np.clip(idx, 0, len(self.keys) - 1)
             hit = self.keys[idx] == b["l_orderkey"].to_numpy()
@@ -370,10 +377,14 @@ def orders_price_band_join(sf_dir):
     orders = ops.read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
 
     def assign(b: pd.DataFrame) -> pd.DataFrame:
-        idx = np.searchsorted(bands, b["o_totalprice"].to_numpy(), side="right") - 1
-        out = pd.DataFrame(
-            {"band_lo": bands[idx], "o_totalprice": b["o_totalprice"]}
-        )
+        price = b["o_totalprice"].to_numpy()
+        idx = np.searchsorted(bands, price, side="right") - 1
+        # drop out-of-range rows so engine semantics match the oracle's
+        # range-join predicate (negatives and >= top edge fall out of
+        # every band, not into the edge bands)
+        in_range = (idx >= 0) & (price < bands[-1] + 50000.0)
+        idx, price = idx[in_range], price[in_range]
+        out = pd.DataFrame({"band_lo": bands[idx], "o_totalprice": price})
         return out.groupby("band_lo", as_index=False, sort=False).agg(
             n_orders=("o_totalprice", "size"), sum_price=("o_totalprice", "sum")
         )
@@ -723,7 +734,7 @@ def _corpus_for(sf_dir):
 
     tag = os.path.basename(os.path.normpath(sf_dir))
     n = {"sf0.001": 150, "sf0.01": 400, "sf0.1": 1000}.get(tag, 150)
-    out = f"/tmp/ttr_corpus_n{n}"
+    out = f"/tmp/ttr_corpus_v2_n{n}"  # v2: mixed-codec corpus (+ozf)
     return corpus.generate(out, scale="tiny", n_rows=n, seed=1234)
 
 

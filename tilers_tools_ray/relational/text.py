@@ -53,13 +53,15 @@ class QualityScorer:
         self.token_re = _TOKEN_RE
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        text = batch["text"].fillna("")
+        text = batch["text"].fillna("").reset_index(drop=True)
         toks = text.str.findall(self.token_re)
         n_tok = toks.str.len().astype("int64")
         n_chars = text.str.len().astype("int64")
-        stop = toks.map(
-            lambda ws: sum(w.lower() in self.stop_all for w in ws)
-        ).astype("int64")
+        ex = toks.explode().dropna().str.lower()
+        stop = pd.Series(0, index=text.index, dtype="int64")
+        if len(ex):
+            hit = ex.isin(self.stop_all).groupby(level=0).sum()
+            stop.loc[hit.index] = hit.astype("int64")
         punct = text.str.count(r"[^\w\s]").astype("int64")
         stop_ratio = np.where(n_tok > 0, stop / n_tok.clip(lower=1), 0.0)
         punct_ratio = np.where(n_chars > 0, punct / n_chars.clip(lower=1), 0.0)
@@ -70,7 +72,7 @@ class QualityScorer:
         )
         return pd.DataFrame(
             {
-                "doc_id": batch["doc_id"],
+                "doc_id": batch["doc_id"].to_numpy(),
                 "n_tokens": n_tok,
                 "stop_ratio": np.round(stop_ratio, 6),
                 "punct_ratio": np.round(punct_ratio, 6),
@@ -103,10 +105,30 @@ class LangId:
         return best
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        pred = batch["text"].fillna("").map(self.predict_one)
-        out = pd.DataFrame({"doc_id": batch["doc_id"], "pred_lang": pred})
+        """Vectorized batch path (same decisions as predict_one: CJK →
+        zh; else first-in-sorted-order argmax of stopword hits; no
+        words → en)."""
+        text = batch["text"].fillna("").reset_index(drop=True)
+        langs = sorted(self.profiles)
+        words = text.str.findall(self.word)
+        ex = words.explode().dropna().str.lower()
+        counts = np.zeros((len(text), len(langs)), dtype=np.int64)
+        if len(ex):
+            for li, lang in enumerate(langs):
+                hit = ex.isin(self.profiles[lang]).groupby(level=0).sum()
+                counts[hit.index.to_numpy(), li] = hit.to_numpy()
+        pred = np.array(langs, dtype=object)[np.argmax(counts, axis=1)]
+        n_words = words.str.len().to_numpy()
+        pred[n_words == 0] = "en"
+        pred[text.str.contains(self.cjk).to_numpy()] = "zh"
+        pred = pd.Series(pred, dtype=object)
+        out = pd.DataFrame(
+            {"doc_id": batch["doc_id"].to_numpy(), "pred_lang": pred}
+        )
         if "lang" in batch.columns:
-            out["is_correct"] = (pred == batch["lang"]).astype("int64")
+            out["is_correct"] = (
+                pred.to_numpy() == batch["lang"].to_numpy()
+            ).astype("int64")
         return out
 
 
@@ -130,28 +152,76 @@ def content_hash(batch: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+_FP_P = np.uint64((1 << 61) - 1)  # Mersenne prime 2^61 - 1
+_FP_MASK53 = np.uint64((1 << 53) - 1)
+
+
+def _window_hashes(arr: np.ndarray, window: int) -> np.ndarray:
+    """Rabin-Karp hash (base 257 mod 2^61-1) of EVERY length-``window``
+    slice of ``arr`` (uint64 bytes), vectorized across positions:
+    ``window`` in-place passes of branch-free Mersenne modmul instead
+    of an interpreted loop per character.
+
+    Overflow-safety invariant: H < 2^61+4 entering each pass, so
+    H·256 ≡ ((H & 2^53-1)<<8) + (H>>53) (2^61 ≡ 1 mod p) and the
+    running total stays < 2^63; the shift-fold keeps values congruent
+    mod p but only partially reduced — one exact reduction at the
+    end."""
+    W = len(arr) - window + 1
+    H = np.zeros(W, dtype=np.uint64)
+    t1 = np.empty(W, dtype=np.uint64)
+    t2 = np.empty(W, dtype=np.uint64)
+    u8, u53, u61 = np.uint64(8), np.uint64(53), np.uint64(61)
+    for j in range(window):
+        np.bitwise_and(H, _FP_MASK53, out=t1)
+        np.left_shift(t1, u8, out=t1)  # (H mod 2^53) * 256
+        np.right_shift(H, u53, out=t2)  # carry folded via 2^61 ≡ 1
+        t1 += t2
+        t1 += H  # H*257 (congruent)
+        t1 += arr[j : j + W]
+        np.right_shift(t1, u61, out=t2)
+        np.bitwise_and(t1, _FP_P, out=t1)
+        t1 += t2  # partial fold: < 2^61 + 4
+        H, t1 = t1, H
+    H[H >= _FP_P] -= _FP_P  # exact residue before any comparison
+    return H
+
+
 def rolling_fingerprint(batch: pd.DataFrame, window=16, base=257, mod=(1 << 61) - 1):
     """Document fingerprinting: min rolling (Rabin-Karp) hash over
     character windows — a winnowing-style content id robust to
-    concatenation order."""
-    out = []
-    for t in batch["text"].fillna(""):
-        b = t.encode("utf-8")
-        if len(b) < window:
-            out.append(_md5_64(t))
-            continue
-        arr = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
-        h = 0
-        pw = pow(base, window - 1, mod)
-        best = None
-        for i, c in enumerate(arr):
-            h = (h * base + int(c)) % mod
-            if i >= window - 1:
-                best = h if best is None or h < best else best
-                h = (h - int(arr[i - window + 1]) * pw) % mod
-        out.append(best if best is not None else 0)
+    concatenation order.
+
+    Fully batch-vectorized: every document in the batch is packed into
+    ONE byte array, all window hashes are computed in ``window`` numpy
+    passes over the whole array (branch-free Mersenne modmul), and the
+    per-document minima come from one ``np.minimum.reduceat`` —
+    O(window) vector ops per BATCH instead of O(bytes) interpreted
+    Python per document. Values match the scalar rolling recurrence
+    exactly (both are Σ c·base^j mod p per window)."""
+    assert base == 257 and mod == (1 << 61) - 1, "vectorized for the defaults"
+    texts = batch["text"].fillna("")
+    encoded = [t.encode("utf-8") for t in texts]
+    lens = np.fromiter((len(b) for b in encoded), dtype=np.int64, count=len(encoded))
+    out = np.zeros(len(encoded), dtype=np.int64)
+    short = lens < window
+    for i in np.flatnonzero(short):
+        out[i] = _md5_64(texts.iloc[i])
+    eligible = np.flatnonzero(~short)
+    if len(eligible):
+        big = np.frombuffer(b"".join(encoded), dtype=np.uint8).astype(np.uint64)
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        # window hash at every global position (doc-crossing windows
+        # are computed too but never selected below)
+        H = _window_hashes(big, window)
+        counts = lens[eligible] - window + 1
+        base_pos = np.repeat(starts[eligible], counts)
+        cum0 = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        local = np.arange(int(counts.sum())) - np.repeat(cum0, counts)
+        vals = H[base_pos + local]
+        out[eligible] = np.minimum.reduceat(vals, cum0).astype(np.int64)
     return pd.DataFrame(
-        {"doc_id": batch["doc_id"], "fingerprint": pd.array(out, dtype="int64")}
+        {"doc_id": batch["doc_id"].to_numpy(), "fingerprint": pd.array(out, dtype="int64")}
     )
 
 
@@ -193,22 +263,42 @@ class MinHasher:
 
 
 class SimHasher:
-    """64-bit SimHash over token unigrams (weighted bit-vote)."""
+    """64-bit SimHash over token unigrams (weighted bit-vote).
+
+    Per-actor state: a token→hash memo (the md5 of a token never
+    changes, and corpora reuse vocabulary heavily) and the bit-shift
+    table. Per doc the vote is one (n_tokens × 64) vectorized
+    reduction instead of a Python loop per token."""
+
+    _CACHE_CAP = 1 << 20
+
+    def __init__(self):
+        self.memo = {}
+        self.shifts = np.arange(64, dtype=np.int64)
+        self.powers = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+
+    def _tok_hash(self, tok):
+        h = self.memo.get(tok)
+        if h is None:
+            h = _md5_64(tok)
+            if len(self.memo) < self._CACHE_CAP:
+                self.memo[tok] = h
+        return h
+
+    def simhash_one(self, text: str) -> int:
+        toks = _TOKEN_RE.findall(text.lower())
+        if not toks:
+            return 0
+        hs = np.fromiter(
+            (self._tok_hash(t) for t in toks), dtype=np.int64, count=len(toks)
+        )
+        bits = (hs[:, None] >> self.shifts) & 1  # (n_tok, 64) two's-complement bits
+        votes = (2 * bits - 1).sum(axis=0)
+        packed = self.powers[votes > 0].sum(dtype=np.uint64)
+        return int(packed.astype(np.int64))
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for t in batch["text"].fillna(""):
-            votes = np.zeros(64, dtype=np.int64)
-            for tok in _TOKEN_RE.findall(t.lower()):
-                h = _md5_64(tok)
-                bits = (np.int64(h) >> np.arange(64, dtype=np.int64)) & 1
-                votes += bits * 2 - 1
-            h = 0
-            for i in np.flatnonzero(votes > 0):
-                h |= 1 << int(i)
-            if h >= 1 << 63:
-                h -= 1 << 64
-            out.append(h)
+        out = [self.simhash_one(t) for t in batch["text"].fillna("")]
         return pd.DataFrame(
             {"doc_id": batch["doc_id"], "simhash": pd.array(out, dtype="int64")}
         )

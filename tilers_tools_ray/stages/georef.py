@@ -132,6 +132,68 @@ def parse_bsb_header(text):
     return gt, "EPSG:4326", np.array(ring, dtype=np.float64), datum
 
 
+_GEO_KV_RE = re.compile(r"^\s*(\w+)\s*=\s*(.*?)\s*$")
+_GEO_POINT_RE = re.compile(
+    r"^Point\d+$"  # key side; values parsed as px, py, wx, wy
+)
+_GEO_VERTEX_RE = re.compile(r"^Vertex\d+$")
+
+
+def parse_geo_header(text):
+    """ChartWorld ``.geo`` header reader (reader_geo.py equivalent,
+    S4 [C semantics]): ``Name = value`` records —
+
+      ``Datum = <name>``           datum resolved via DATUM_TABLE (J1)
+      ``Projection = <srs>``       default EPSG:4326
+      ``PointNN = px, py, wx, wy`` GCPs (≥3 → affine solve, M3)
+      ``VertexNN = px, py``        border polygon vertices
+
+    Returns (gt, srs, ring, datum) like every registry parser."""
+    datum = "WGS 84"
+    srs = "EPSG:4326"
+    px, py, wx, wy = [], [], [], []
+    ring = []
+    saw_geo = False
+    for ln in text.splitlines():
+        m = _GEO_KV_RE.match(ln)
+        if not m:
+            continue
+        key, val = m.group(1), m.group(2)
+        if key in ("Bitmap", "Name"):
+            saw_geo = True
+        elif key == "Datum":
+            datum = val
+        elif key == "Projection":
+            srs = val
+        elif _GEO_POINT_RE.match(key):
+            parts = [float(v) for v in val.split(",")]
+            if len(parts) != 4:
+                raise ValueError(f"malformed .geo GCP: {ln!r}")
+            px.append(parts[0])
+            py.append(parts[1])
+            wx.append(parts[2])
+            wy.append(parts[3])
+        elif _GEO_VERTEX_RE.match(key):
+            parts = [float(v) for v in val.split(",")]
+            if len(parts) != 2:
+                raise ValueError(f"malformed .geo vertex: {ln!r}")
+            ring.append((parts[0], parts[1]))
+    if not saw_geo:
+        raise ValueError("not a .geo header (no Bitmap/Name record)")
+    if datum not in DATUM_TABLE:
+        raise ValueError(f"unknown datum {datum!r}")
+    if len(px) < 3:
+        raise ValueError("need ≥3 Point records to solve an affine")
+    shift = DATUM_TABLE[datum]
+    gt = geo.solve_affine(
+        np.array(px),
+        np.array(py),
+        np.asarray(wx) - shift[0],
+        np.asarray(wy) - shift[1],
+    )
+    return gt, srs, np.array(ring, dtype=np.float64), datum
+
+
 #: reader registry keyed by sidecar format — the engine's equivalent of
 #: the reference's reader_*.py dispatch (map2gdal format sniffing,
 #: SURVEY.md §2.10 extension point a). New formats plug in here; the
@@ -140,6 +202,7 @@ GEOREF_PARSERS = {
     "ozi": parse_georef_text,
     "kml": parse_kml_groundoverlay,
     "bsb": parse_bsb_header,
+    "geo": parse_geo_header,
 }
 
 
@@ -150,6 +213,8 @@ def sniff_format(text):
         return "kml"
     if re.search(r"^(KNP/|REF/\d)", text, re.M):
         return "bsb"
+    if re.search(r"^\s*(Bitmap|Name)\s*=", text, re.M):
+        return "geo"
     raise ValueError("unrecognized georef sidecar format")
 
 

@@ -22,21 +22,27 @@ from .. import raster
 
 
 def centroids_merc(batch: pa.Table):
-    """Footprint centroids (mercator) for a batch of image rows."""
-    gts = batch.column("gt").to_pylist()
-    srs = batch.column("srs").to_pylist()
-    ws = batch.column("w").to_pylist()
-    hs = batch.column("h").to_pylist()
-    n = batch.num_rows
-    cx = np.empty(n)
-    cy = np.empty(n)
-    for i in range(n):
-        corners = raster.source_to_merc_corners(
-            np.asarray(gts[i], dtype=np.float64), ws[i], hs[i], srs[i]
-        )
-        cx[i] = corners[:, 0].mean()
-        cy[i] = corners[:, 1].mean()
-    return cx, cy
+    """Footprint centroids (mercator) for a batch of image rows —
+    mean of the 4 projected corners, in ONE batched affine broadcast
+    (gt is a fixed 6-vector per row; no per-row Python loop)."""
+    from .. import tilegrid as tg
+
+    g = np.array(batch.column("gt").to_pylist(), dtype=np.float64)  # (n, 6)
+    w = np.asarray(batch.column("w").to_numpy(), dtype=np.float64)
+    h = np.asarray(batch.column("h").to_numpy(), dtype=np.float64)
+    z = np.zeros_like(w)
+    px = np.stack([z, w, w, z], axis=1)  # (n, 4) corner pixel coords
+    py = np.stack([z, z, h, h], axis=1)
+    wx = g[:, 0:1] + g[:, 1:2] * px + g[:, 2:3] * py
+    wy = g[:, 3:4] + g[:, 4:5] * px + g[:, 5:6] * py
+    srs = np.asarray(batch.column("srs").to_pylist())
+    for s in set(srs.tolist()):
+        raster.check_srs(s)
+    deg = srs == "EPSG:4326"
+    if deg.any():
+        mx, my = tg.lonlat_to_merc(wx[deg], wy[deg])
+        wx[deg], wy[deg] = mx, my
+    return wx.mean(axis=1), wy.mean(axis=1)
 
 
 def coverage_index_from_table(coverage_tbl, level=7):

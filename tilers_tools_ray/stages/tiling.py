@@ -125,6 +125,7 @@ class FragmentEmitter:
         salt_plan=None,
         n_zorder=1,
         done_parts=None,
+        profile="mercator",
     ):
         self.z_base = int(z_base)
         self.z_part = int(z_part)
@@ -132,6 +133,7 @@ class FragmentEmitter:
         self.salt_plan = _maybe_get(salt_plan) or {}
         self.n_zorder = max(int(n_zorder), 1)
         self.done_parts = _maybe_get(done_parts) or frozenset()
+        self.profile = profile
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = {k: [] for k in FRAGMENT_SCHEMA.names}
@@ -176,7 +178,9 @@ class FragmentEmitter:
         columns alone, so an image whose parts are ALL done is never
         decoded (resume fast path, §4.3)."""
         w, h = int(cols["w"][i]), int(cols["h"][i])
-        xs, ys = raster.base_tiles_for_image(gt, w, h, srs, self.z_base)
+        xs, ys = raster.base_tiles_for_image(
+            gt, w, h, srs, self.z_base, profile=self.profile
+        )
         shift = self.z_base - self.z_part
         todo = [
             (int(x), int(y))
@@ -190,7 +194,8 @@ class FragmentEmitter:
         cutline = raster.parse_wkb_polygon(cols["cutline_wkb"][i])
         only = set(todo) if len(todo) < len(xs) else None
         yield from raster.emit_fragments_for_image(
-            pixels, gt, srs, cutline, [self.z_base], self.resampling, only_tiles=only
+            pixels, gt, srs, cutline, [self.z_base], self.resampling,
+            only_tiles=only, profile=self.profile,
         )
 
 
@@ -200,9 +205,10 @@ class TouchedParts:
     per-part fragment estimate. Pre-aggregated inside the batch so the
     following groupby shuffles one row per (batch, part)."""
 
-    def __init__(self, z_base, z_part):
+    def __init__(self, z_base, z_part, profile="mercator"):
         self.z_base = int(z_base)
         self.z_part = int(z_part)
+        self.profile = profile
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         counts = {}
@@ -214,7 +220,7 @@ class TouchedParts:
         for i in range(batch.num_rows):
             gt = np.asarray(gts[i], dtype=np.float64)
             xs, ys = raster.base_tiles_for_image(
-                gt, ws[i], hs[i], srss[i], self.z_base
+                gt, ws[i], hs[i], srss[i], self.z_base, profile=self.profile
             )
             parts = tg.pack_key(
                 np.full(len(xs), self.z_part, dtype=np.int64),

@@ -179,6 +179,64 @@ GEODETIC = TileGrid("geodetic", (2, 1), (-180.0, -90.0, 180.0, 90.0), True)
 PROFILES = {g.name: g for g in (MERCATOR, GEODETIC)}
 
 
+def grid_dims(profile, z):
+    """(nx, ny) tile-grid dimensions of ``profile`` at zoom z."""
+    g = PROFILES[profile] if isinstance(profile, str) else profile
+    return g.tiles_at_zoom0[0] << int(z), g.tiles_at_zoom0[1] << int(z)
+
+
+# --- geodetic (plate-carrée) profile math: 2×1 tiles at z0, world =
+# --- (-180..180, -90..90) degrees, same deg/px on both axes ----------------
+
+
+def geodetic_resolution(z):
+    """Degrees per pixel at zoom z (geodetic profile, 256px tiles)."""
+    return 180.0 / (TILE_SIZE * (1 << int(z)))
+
+
+def lonlat_to_pixel_geodetic(lon, lat, z):
+    """Degrees → global pixel coords at zoom z (y down from +90°)."""
+    res = geodetic_resolution(z)
+    px = (np.asarray(lon, dtype=np.float64) + 180.0) / res
+    py = (90.0 - np.asarray(lat, dtype=np.float64)) / res
+    return px, py
+
+
+def tile_bounds_geodetic(z, x, y):
+    """Geodetic tile → (minlon, minlat, maxlon, maxlat) degrees."""
+    res = geodetic_resolution(z)
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    minlon = x * TILE_SIZE * res - 180.0
+    maxlon = (x + 1) * TILE_SIZE * res - 180.0
+    maxlat = 90.0 - y * TILE_SIZE * res
+    minlat = 90.0 - (y + 1) * TILE_SIZE * res
+    return minlon, minlat, maxlon, maxlat
+
+
+def tiles_overlapping_bbox_geodetic(minlon, minlat, maxlon, maxlat, z):
+    """All geodetic (x, y) tiles at zoom z intersecting a degree bbox."""
+    nx, ny = grid_dims("geodetic", z)
+    res = geodetic_resolution(z)
+    span = TILE_SIZE * res
+    tx0 = int(np.clip(np.floor((minlon + 180.0) / span), 0, nx - 1))
+    tx1 = int(np.clip(np.ceil((maxlon + 180.0) / span) - 1, 0, nx - 1))
+    ty0 = int(np.clip(np.floor((90.0 - maxlat) / span), 0, ny - 1))
+    ty1 = int(np.clip(np.ceil((90.0 - minlat) / span) - 1, 0, ny - 1))
+    xs = np.arange(tx0, tx1 + 1, dtype=np.int64)
+    ys = np.arange(ty0, ty1 + 1, dtype=np.int64)
+    gx, gy = np.meshgrid(xs, ys, indexing="ij")
+    return gx.ravel(), gy.ravel()
+
+
+def auto_base_zoom_geodetic(src_res_deg):
+    """Max zoom whose geodetic tile resolution is ≥ as fine as the
+    source resolution in degrees."""
+    src = np.asarray(src_res_deg, dtype=np.float64)
+    z = np.ceil(np.log2(180.0 / (TILE_SIZE * src)))
+    return np.clip(z, 0, MAX_ZOOM).astype(np.int64)
+
+
 # ---------------------------------------------------------------------------
 # path/key codecs (tiles_convert.py::TileSet*.coord2path — M9)
 # ---------------------------------------------------------------------------
