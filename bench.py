@@ -35,10 +35,14 @@ BENCH_QUERIES = [
     "top_orders_by_price",
     "events_hourly",
     "events_sessionize",
+    "events_sliding_window",
     "doc_token_stats",
+    "doc_fingerprints",
     "dedup_exact_docs",
     "minhash_near_dups",
+    "simhash_near_dups",
     "ann_cosine_topk",
+    "embedding_dup_pairs",
     "spatial_join_images",
     "phash_dedup_images",
 ]
@@ -121,6 +125,12 @@ def run_bench(sf_dir, num_cpus):
 
     timings = {}
     skip_queries = os.environ.get("TTR_SKIP_QUERIES") == "1"
+    if not skip_queries:
+        # generate the query-corpus fixture OUTSIDE the timings (it is
+        # test-data setup, not pipeline work; a cold /tmp would
+        # otherwise bill ~10 s of serial corpus gen to the first
+        # corpus-backed query)
+        q._corpus_for(sf_dir)
     for name in [] if skip_queries else BENCH_QUERIES:
         t0 = time.monotonic()
         res = q.QUERIES[name](sf_dir)

@@ -184,3 +184,19 @@ def test_geodetic_pyramid_e2e(ray_session, geodetic_images, tmp_path):
     assert pyramid.write_pyramid(
         images_path, out, z_min=1, salt=False, profile="geodetic"
     ) == summary
+
+
+def test_resume_profile_mismatch_raises(ray_session, geodetic_images, tmp_path):
+    """Resuming an output dir with different grid parameters must fail
+    loudly instead of silently mixing tile grids."""
+    images_path, z = geodetic_images
+    out = str(tmp_path / "guard_pyr")
+    pyramid.write_pyramid(images_path, out, z_min=2, salt=False, profile="geodetic")
+    with pytest.raises(ValueError, match="resume parameter mismatch"):
+        pyramid.write_pyramid(
+            images_path, out, z_min=2, salt=False, profile="mercator"
+        )
+    with pytest.raises(ValueError, match="resume parameter mismatch"):
+        pyramid.write_pyramid(
+            images_path, out, z_min=1, salt=False, profile="geodetic"
+        )

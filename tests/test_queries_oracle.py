@@ -107,6 +107,7 @@ def test_oracle_match(registry, name):
         "simhash_near_dups",
         "ivf_ann_topk",
         "tile_pyramid_stats",
+        "tile_pyramid_stats_geodetic",
         "skew_census",
         "spatial_join_images",
         "knn_nearest_regions",

@@ -87,7 +87,11 @@ def cmd_convert(args):
         print(json.dumps({"tiles": n, "sink": "sqlite"}))
     elif args.to_layout:
         meta = tileset.export_tree(
-            tiles, args.out, layout=args.to_layout, fmt=args.to_fmt
+            tiles,
+            args.out,
+            layout=args.to_layout,
+            fmt=args.to_fmt,
+            skip_existing=args.noclobber,
         )
         print(json.dumps(meta))
     else:
@@ -166,6 +170,11 @@ def build_parser():
     c.add_argument("--to-layout", default=None, choices=[None, "xyz", "tms", "zyx", "sasplanet"])
     c.add_argument("--to-fmt", default="png", choices=["png", "raw", "dct", "png8", "ozf"])
     c.add_argument("--zoom", default=None)
+    c.add_argument(
+        "--noclobber",
+        action="store_true",
+        help="skip tiles whose destination file already exists",
+    )
     c.set_defaults(fn=cmd_convert)
 
     g = sub.add_parser("map2gdal", help="parse georef sidecars → columns")

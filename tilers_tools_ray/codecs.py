@@ -292,19 +292,39 @@ def build_palette(rgba, max_colors=256):
 
 
 def quantize_to_palette(rgba, palette):
-    """Nearest-palette-index map (H, W) uint8 for an RGB(A) image."""
+    """Nearest-palette-index map (H, W) uint8 for an RGB(A) image.
+
+    Fast path: pixels whose exact color is IN the palette map via a
+    packed-int searchsorted (O(n log c) — covers the whole image for
+    ≤256-color sources, the normal paletted-chart case). Only the
+    missing colors fall back to the chunked distance argmin."""
     px = np.asarray(rgba, dtype=np.uint8)[:, :, :3]
     h, w = px.shape[:2]
     flat = px.reshape(-1, 3).astype(np.int32)
     pal = palette.astype(np.int32)
-    # chunked (npix, ncolors) distance argmin — bounded memory
+    keys = (flat[:, 0] << 16) | (flat[:, 1] << 8) | flat[:, 2]
+    pkeys = (pal[:, 0] << 16) | (pal[:, 1] << 8) | pal[:, 2]
+    order = np.argsort(pkeys)  # identity for lexicographic palettes
+    sk = pkeys[order]
+    pos = np.clip(np.searchsorted(sk, keys), 0, len(sk) - 1)
+    exact = sk[pos] == keys
     idx = np.empty(len(flat), dtype=np.uint8)
-    step = 65536
-    for lo in range(0, len(flat), step):
-        d = flat[lo : lo + step, None, :] - pal[None, :, :]
-        idx[lo : lo + step] = np.argmin((d * d).sum(axis=2), axis=1).astype(
-            np.uint8
+    idx[exact] = order[pos[exact]].astype(np.uint8)
+    miss = np.flatnonzero(~exact)
+    if len(miss):
+        # distance argmin only over the distinct missing colors
+        mkeys, inv = np.unique(keys[miss], return_inverse=True)
+        mcol = np.stack(
+            [(mkeys >> 16) & 255, (mkeys >> 8) & 255, mkeys & 255], axis=1
         )
+        step = 16384
+        midx = np.empty(len(mkeys), dtype=np.uint8)
+        for lo in range(0, len(mkeys), step):
+            d = mcol[lo : lo + step, None, :] - pal[None, :, :]
+            midx[lo : lo + step] = np.argmin(
+                (d * d).sum(axis=2), axis=1
+            ).astype(np.uint8)
+        idx[miss] = midx[inv]
     return idx.reshape(h, w)
 
 

@@ -169,7 +169,11 @@ def fragments_dataset(
             ncpu = int(ray.cluster_resources().get("CPU", 8))
         except Exception:
             ncpu = 8
-        concurrency = max(2, ncpu * 7 // 8)
+        # never claim EVERY cpu: at tiny clusters (2-4) a full-width
+        # fixed pool starves the groupby reduce tasks behind it and the
+        # executor deadlocks (observed at num_cpus=2: 2 actors held both
+        # CPUs while the sort waited forever)
+        concurrency = max(1, min(ncpu - 1, ncpu * 7 // 8))
     kwargs = {"concurrency": concurrency}
     salt_ref = ray.put(salt_plan) if salt_plan else None
     done_ref = ray.put(done_parts) if done_parts else None
@@ -334,6 +338,15 @@ def write_pyramid(
     if z_base is None:
         z_base = auto_zoom(images_path, profile=profile)
     os.makedirs(out_dir, exist_ok=True)
+    lineage.check_job_meta(
+        out_dir,
+        {
+            "profile": profile,
+            "z_base": int(z_base),
+            "z_min": int(z_min),
+            "resampling": resampling,
+        },
+    )
     # --- base level --------------------------------------------------------
     if not lineage.level_is_complete(out_dir, z_base):
         z_part = default_z_part(z_base)

@@ -450,28 +450,40 @@ FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
 
 
 def segment_distinct_customers(sf_dir):
-    """Exact distinct count per group: per-batch distinct partials
-    (set semantics inside the batch) → grouped distinct of the much
-    smaller partial set → count. The shuffle moves one row per
-    (batch, segment, custkey-distinct-in-batch)."""
+    """Exact distinct count per group, fully distributed: per-batch
+    distinct partials (Arrow out) → grouped distinct (one row per
+    active custkey) → hash join with customer keyed on custkey →
+    per-batch segment-count partials → tiny driver merge (≤5 rows ×
+    blocks). Neither table is ever collected whole on the driver."""
+    import pyarrow as pa
+    from ray.data.aggregate import Count
+
     cust = ops.read(sf_dir, "customer", columns=["c_mktsegment", "c_custkey"])
     orders = ops.read(sf_dir, "orders", columns=["o_custkey"])
 
-    def o_partial(b: pd.DataFrame) -> pd.DataFrame:
-        return b.drop_duplicates("o_custkey")
+    def o_partial(b: pd.DataFrame) -> pa.Table:
+        u = b["o_custkey"].drop_duplicates().to_numpy()
+        return pa.table({"o_custkey": u})
 
-    active = (
-        orders.map_batches(o_partial, batch_format="pandas")
-        .to_pandas()
-        .drop_duplicates("o_custkey")
+    # materialize the slim partial before the aggregate (Ray 2.49
+    # chained-all-to-all pathology; see dedup.exact_dedup)
+    partial = orders.map_batches(o_partial, batch_format="pandas").materialize()
+    active = partial.groupby("o_custkey").aggregate(
+        Count(alias_name="n_ord_blocks")
     )
-    cdf = cust.to_pandas()
-    merged = cdf.merge(
-        active, left_on="c_custkey", right_on="o_custkey", how="inner"
+    joined = ops.hash_join(
+        cust, active, on="c_custkey", right_on="o_custkey", num_partitions=8
     )
+
+    def seg_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("c_mktsegment", as_index=False).agg(
+            n_active_customers=("c_custkey", "size")
+        )
+
+    partials = joined.map_batches(seg_partial, batch_format="pandas").to_pandas()
     out = (
-        merged.groupby("c_mktsegment", as_index=False)
-        .agg(n_active_customers=("c_custkey", "nunique"))
+        partials.groupby("c_mktsegment", as_index=False)
+        .agg(n_active_customers=("n_active_customers", "sum"))
         .sort_values("c_mktsegment")
         .reset_index(drop=True)
     )
@@ -750,6 +762,21 @@ def tile_pyramid_stats(sf_dir):
     return stats.sort_values("z").reset_index(drop=True)
 
 
+def tile_pyramid_stats_geodetic(sf_dir):
+    """Rows-only: the same corpus cut on the GEODETIC (plate-carrée)
+    profile — exercises the §2.10 profile registry end-to-end in the
+    driver contract."""
+    from ..pipelines import pyramid, tileset
+
+    paths = _corpus_for(sf_dir)
+    base = pyramid.base_tiles(paths["images"], profile="geodetic")
+    stats = tileset.tileset_stats(base).to_pandas()
+    stats["z"] = stats["z"].astype("int64")
+    for c in ("n_tiles", "min_x", "max_x", "min_y", "max_y"):
+        stats[c] = stats[c].astype("int64")
+    return stats.sort_values("z").reset_index(drop=True)
+
+
 def spatial_join_images(sf_dir):
     import pyarrow.parquet as pq
 
@@ -872,6 +899,7 @@ QUERIES = {
     "ivf_ann_topk": ivf_ann_topk,
     "embedding_dup_pairs": embedding_dup_pairs,
     "tile_pyramid_stats": tile_pyramid_stats,
+    "tile_pyramid_stats_geodetic": tile_pyramid_stats_geodetic,
     "skew_census": skew_census,
     "spatial_join_images": spatial_join_images,
     "knn_nearest_regions": knn_nearest_regions,

@@ -95,6 +95,39 @@ def level_is_complete(out_dir, z):
     return os.path.exists(level_complete_marker(out_dir, z))
 
 
+def job_meta_path(out_dir):
+    return os.path.join(out_dir, "lineage", "job.json")
+
+
+def check_job_meta(out_dir, meta):
+    """Guard resume consistency: the first run records the job's grid
+    parameters (profile, z_base, resampling); a resume with DIFFERENT
+    parameters would silently mix tile grids, so it raises instead.
+    Returns the stored meta."""
+    p = job_meta_path(out_dir)
+    if os.path.exists(p):
+        with open(p) as f:
+            stored = json.load(f)
+        diff = {
+            k: (stored.get(k), v)
+            for k, v in meta.items()
+            if stored.get(k) != v
+        }
+        if diff:
+            raise ValueError(
+                f"resume parameter mismatch for {out_dir}: {diff} — this "
+                "output dir was built with different grid parameters; use "
+                "a fresh output dir (mixing profiles/zooms would corrupt "
+                "the pyramid)"
+            )
+        return stored
+    os.makedirs(os.path.dirname(p), exist_ok=True)
+    with open(p + ".tmp", "w") as f:
+        json.dump(meta, f)
+    os.replace(p + ".tmp", p)
+    return meta
+
+
 def job_summary(out_dir):
     """Tiny global rollup (A5): per-level tile counts + checksums."""
     root = os.path.join(out_dir, "lineage")
