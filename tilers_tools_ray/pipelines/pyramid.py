@@ -441,7 +441,11 @@ def write_pyramid(
             part = int(group.column("part")[0].as_py())
             rows = {"z": [], "part": [], "n_tiles": [], "checksum_xor": []}
             for z, tbl in per_level.items():
+                # per-level INCREMENT (resetting t0 per commit) — a
+                # shared t0 made every level's wall_s report the whole
+                # cascade compute, quadruple-counting it in rollups
                 manifest = _part_manifest(z, part, tbl, t0)
+                t0 = time.monotonic()
                 lineage.commit_part(out_dir, z, part, tbl, manifest)
                 rows["z"].append(z)
                 rows["part"].append(part)
