@@ -45,6 +45,12 @@ def cmd_tiler(args):
     zooms = tg.parse_zoom_spec(args.zoom) if args.zoom else None
     z_min = zooms[0] if zooms else args.z_min
     z_base = zooms[-1] if zooms else None
+    profile = args.profile
+    if profile == "raster":
+        if not args.canvas:
+            raise SystemExit("--profile raster requires --canvas WxH")
+        w, h = (int(v) for v in args.canvas.lower().split("x"))
+        profile = tg.RasterGrid(w, h)
     summary = pyramid.write_pyramid(
         args.src,
         args.out,
@@ -52,7 +58,7 @@ def cmd_tiler(args):
         z_min=z_min,
         resampling=args.base_resampling,
         salt="auto" if not args.no_salt else None,
-        profile=args.profile,
+        profile=profile,
     )
     print(json.dumps({str(k): v for k, v in summary.items()}, indent=1))
 
@@ -153,7 +159,14 @@ def build_parser():
         choices=["nearest", "bilinear", "bicubic"],
     )
     t.add_argument(
-        "--profile", default="mercator", choices=["mercator", "geodetic"]
+        "--profile",
+        default="mercator",
+        choices=["mercator", "geodetic", "raster"],
+    )
+    t.add_argument(
+        "--canvas",
+        default=None,
+        help="raster-profile canvas size as WxH (canvas pixels)",
     )
     t.add_argument("--no-salt", action="store_true")
     t.set_defaults(fn=cmd_tiler)

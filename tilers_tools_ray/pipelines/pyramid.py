@@ -86,7 +86,11 @@ def _effective_res(batch: pa.Table, profile="mercator") -> pa.Table:
 
 def auto_zoom(images_path, profile="mercator"):
     """Job-wide base zoom: finest per-image optimal zoom (distributed
-    min-reduce over the georef columns only — no pixel decode)."""
+    min-reduce over the georef columns only — no pixel decode). For a
+    RasterGrid profile the base zoom is the canvas's own (1 dest px =
+    1 canvas px)."""
+    if isinstance(profile, tg.RasterGrid):
+        return profile.z_base
     ds = images_dataset(images_path, columns=["gt", "srs"])
     min_res = ds.map_batches(
         lambda b, _p=profile: _effective_res(b, _p), batch_format="pyarrow"
@@ -341,7 +345,7 @@ def write_pyramid(
     lineage.check_job_meta(
         out_dir,
         {
-            "profile": profile,
+            "profile": tg.profile_tag(profile),
             "z_base": int(z_base),
             "z_min": int(z_min),
             "resampling": resampling,

@@ -78,7 +78,14 @@ def check_srs(srs):
 
 def _to_profile_units(wx, wy, srs, profile):
     """Source-SRS world coords → dest-profile units (merc meters for
-    the mercator profile, degrees for geodetic)."""
+    the mercator profile, degrees for geodetic, canvas pixels for a
+    RasterGrid)."""
+    if isinstance(profile, tg.RasterGrid):
+        if srs != "PIXEL":
+            raise ValueError(
+                f"raster profile requires srs='PIXEL' sources, got {srs!r}"
+            )
+        return wx, wy
     check_srs(srs)
     if profile == "geodetic":
         if srs == "EPSG:4326":
@@ -118,6 +125,8 @@ def base_tiles_for_image(gt, w, h, srs, z, profile="mercator"):
     """Tiles at zoom z intersecting the image footprint bbox, in the
     dest profile's grid."""
     bb = footprint_bbox_profile(gt, w, h, srs, profile)
+    if isinstance(profile, tg.RasterGrid):
+        return profile.tiles_overlapping_bbox(*bb, z)
     if profile == "geodetic":
         return tg.tiles_overlapping_bbox_geodetic(*bb, z)
     return tg.tiles_overlapping_bbox(*bb, z)
@@ -143,8 +152,16 @@ def _source_coords(gt, srs, z, gx, gy, profile="mercator"):
     float32 keeps ~2·10⁻⁴ px — far below the half-pixel that could
     flip a nearest-neighbor sample — at HALF the memory bandwidth of
     the biggest arrays in the pipeline."""
-    check_srs(srs)
-    if profile == "geodetic":
+    if isinstance(profile, tg.RasterGrid):
+        if srs != "PIXEL":
+            raise ValueError(
+                f"raster profile requires srs='PIXEL' sources, got {srs!r}"
+            )
+        res = profile.resolution(z)
+        wx = (np.asarray(gx, dtype=np.float64) + 0.5) * res  # canvas px
+        wy = (np.asarray(gy, dtype=np.float64) + 0.5) * res  # y DOWN
+    elif profile == "geodetic":
+        check_srs(srs)
         res = tg.geodetic_resolution(z)
         lon = (np.asarray(gx, dtype=np.float64) + 0.5) * res - 180.0
         lat = 90.0 - (np.asarray(gy, dtype=np.float64) + 0.5) * res
@@ -153,6 +170,7 @@ def _source_coords(gt, srs, z, gx, gy, profile="mercator"):
         else:
             wx, wy = tg.lonlat_to_merc(lon, lat)
     else:
+        check_srs(srs)
         n = 1 << int(z)
         res = 2.0 * tg.ORIGIN / (TILE * n)
         mx = (np.asarray(gx, dtype=np.float64) + 0.5) * res - tg.ORIGIN
@@ -304,7 +322,12 @@ def dest_pixel_window(gt, w, h, srs, z, margin=2, profile="mercator"):
     edge_py = np.concatenate([np.zeros(65), t * h, np.full(65, float(h)), (1 - t) * h])
     wx, wy = geo.apply_gt(np.asarray(gt, dtype=np.float64), edge_px, edge_py)
     wx, wy = _to_profile_units(wx, wy, srs, profile)
-    if profile == "geodetic":
+    if isinstance(profile, tg.RasterGrid):
+        res = profile.resolution(z)
+        dpx, dpy = wx / res, wy / res  # y down already
+        nx, ny = profile.dims(z)
+        world_x, world_y = TILE * nx, TILE * ny
+    elif profile == "geodetic":
         dpx, dpy = tg.lonlat_to_pixel_geodetic(wx, wy, z)
         nx, ny = tg.grid_dims("geodetic", z)
         world_x, world_y = TILE * nx, TILE * ny

@@ -179,8 +179,58 @@ GEODETIC = TileGrid("geodetic", (2, 1), (-180.0, -90.0, 180.0, 90.0), True)
 PROFILES = {g.name: g for g in (MERCATOR, GEODETIC)}
 
 
+@dataclass(frozen=True)
+class RasterGrid:
+    """Non-georeferenced pixel-canvas profile (gdal_tiler ``-p raster``
+    [C semantics]): world units are canvas PIXELS of a width×height
+    virtual canvas, origin top-left, y DOWN. ``z_base`` is the zoom
+    where one dest pixel equals one canvas pixel; coarser zooms halve.
+    Sources use srs="PIXEL" with a gt mapping source px → canvas px."""
+
+    width: int
+    height: int
+
+    name = "raster"
+
+    @property
+    def z_base(self):
+        n_tiles = -(-max(self.width, self.height) // TILE_SIZE)
+        return max(int(np.ceil(np.log2(max(n_tiles, 1)))), 0)
+
+    def resolution(self, z):
+        """Canvas pixels per dest pixel at zoom z."""
+        return float(2 ** (self.z_base - int(z)))
+
+    def dims(self, z):
+        res = self.resolution(z)
+        span = TILE_SIZE * res
+        return int(-(-self.width // span)), int(-(-self.height // span))
+
+    def tiles_overlapping_bbox(self, minx, miny, maxx, maxy, z):
+        """Canvas-pixel bbox (y down) → (xs, ys) tile arrays at z."""
+        nx, ny = self.dims(z)
+        span = TILE_SIZE * self.resolution(z)
+        tx0 = int(np.clip(np.floor(minx / span), 0, nx - 1))
+        tx1 = int(np.clip(np.ceil(maxx / span) - 1, 0, nx - 1))
+        ty0 = int(np.clip(np.floor(miny / span), 0, ny - 1))
+        ty1 = int(np.clip(np.ceil(maxy / span) - 1, 0, ny - 1))
+        xs = np.arange(tx0, tx1 + 1, dtype=np.int64)
+        ys = np.arange(ty0, ty1 + 1, dtype=np.int64)
+        gx, gy = np.meshgrid(xs, ys, indexing="ij")
+        return gx.ravel(), gy.ravel()
+
+
+def profile_tag(profile):
+    """Stable string id of a profile (lineage job meta)."""
+    if isinstance(profile, RasterGrid):
+        return f"raster:{profile.width}x{profile.height}"
+    return str(profile)
+
+
 def grid_dims(profile, z):
     """(nx, ny) tile-grid dimensions of ``profile`` at zoom z."""
+    if isinstance(profile, RasterGrid):
+        return profile.dims(z)
     g = PROFILES[profile] if isinstance(profile, str) else profile
     return g.tiles_at_zoom0[0] << int(z), g.tiles_at_zoom0[1] << int(z)
 
