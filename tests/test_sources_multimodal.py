@@ -153,3 +153,26 @@ def test_kml_reader_and_registry():
         georef.sniff_format("garbage")
     with pytest.raises(ValueError):
         georef.parse_kml_groundoverlay("<LatLonBox><north>1</north></LatLonBox>")
+
+
+def test_lance_source_contract():
+    """S9: a .lance URI routes to the native Lance scan; with the
+    library absent in this sandbox the router raises the documented
+    error (parquet with the identical schema is the stand-in)."""
+    import pytest
+
+    from tilers_tools_ray.pipelines import pyramid
+    from tilers_tools_ray.sources import lance_source
+
+    assert lance_source.is_lance_uri("s3://bucket/images.lance")
+    assert lance_source.is_lance_uri("/data/corpus.lance/")
+    assert not lance_source.is_lance_uri("/data/images.parquet")
+    try:
+        import lance  # noqa: F401
+
+        have_lance = True
+    except ImportError:
+        have_lance = False
+    if not have_lance:
+        with pytest.raises(ImportError, match="parquet with the identical"):
+            pyramid.images_dataset("/tmp/nonexistent.lance")

@@ -49,6 +49,12 @@ GEOREF_COLUMNS = ["image_id", "w", "h", "gt", "srs", "zorder"]
 def images_dataset(images_path, columns=None, num_blocks=None):
     import ray.data as rd
 
+    from ..sources import lance_source
+
+    if lance_source.is_lance_uri(images_path):  # S9 native scan
+        return lance_source.read_lance(
+            images_path, columns=columns or FRAG_COLUMNS, num_blocks=num_blocks
+        )
     if num_blocks is None:
         # block count sets downstream TASK granularity: ~8 blocks/CPU
         # keeps the actor-pool tail short (per-image work is highly

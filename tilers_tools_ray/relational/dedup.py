@@ -256,24 +256,64 @@ def minhash_lsh_pairs(
     if cands.count() == 0:
         return empty
 
-    # verify: join text back by doc_id (shuffle join keyed on the id —
-    # the docs table is the big side and is hash-partitioned, never
-    # broadcast or collected)
+    # verify: bring text back by doc_id. Post-LSH candidates are a
+    # tiny fraction of the corpus, so the default path is a broadcast
+    # SEMI-join: filter the docs table to candidate ids (map_batches,
+    # no shuffle — the full text column is never collected), broadcast
+    # the small id→text map, look it up per candidate row. Above
+    # ``broadcast_limit`` candidates it falls back to two
+    # hash-partitioned joins (the all-large-sides shape); Ray's native
+    # join costs ~2 s of fixed setup per call, pathological for small
+    # candidate sets.
+    n_cands = cands.count()
     texts = docs_ds.select_columns(["doc_id", "text"])
-    j1 = cands.join(
-        texts,
-        join_type="inner",
-        num_partitions=join_partitions,
-        on=("doc_a",),
-        right_on=("doc_id",),
-    ).rename_columns({"text": "text_a"})
-    j2 = j1.join(
-        texts,
-        join_type="inner",
-        num_partitions=join_partitions,
-        on=("doc_b",),
-        right_on=("doc_id",),
-    ).rename_columns({"text": "text_b"})
+    broadcast_limit = 100_000
+    if n_cands <= broadcast_limit:
+        import ray
+
+        cdf = cands.to_pandas()  # small by construction (post-LSH)
+        wanted = np.union1d(cdf["doc_a"].to_numpy(), cdf["doc_b"].to_numpy())
+        wref = ray.put(wanted)
+
+        class SemiFilter:
+            def __init__(self):
+                self.ids = ray.get(wref)
+
+            def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+                return b[b["doc_id"].isin(self.ids)]
+
+        matched = texts.map_batches(
+            SemiFilter, batch_format="pandas", batch_size=4096, concurrency=2
+        ).to_pandas()  # ≤ 2 × n_cands rows
+        tref = ray.put(dict(zip(matched["doc_id"], matched["text"])))
+
+        def attach(b: pd.DataFrame) -> pd.DataFrame:
+            lut = ray.get(tref)
+            b = b.copy()
+            b["text_a"] = b["doc_a"].map(lut)
+            b["text_b"] = b["doc_b"].map(lut)
+            return b
+
+        j2 = cands.map_batches(attach, batch_format="pandas")
+    else:
+        j1 = (
+            cands.join(
+                texts,
+                join_type="inner",
+                num_partitions=join_partitions,
+                on=("doc_a",),
+                right_on=("doc_id",),
+            )
+            .rename_columns({"text": "text_a"})
+            .materialize()  # pin between the two join all-to-alls
+        )
+        j2 = j1.join(
+            texts,
+            join_type="inner",
+            num_partitions=join_partitions,
+            on=("doc_b",),
+            right_on=("doc_id",),
+        ).rename_columns({"text": "text_b"})
 
     class JaccardVerify:
         def __init__(self, k):
@@ -301,12 +341,13 @@ def minhash_lsh_pairs(
             )
             return out[out["jaccard"] >= jaccard_threshold]
 
+    # stateless tasks (the shingle kernel has no real setup cost):
+    # a fixed/autoscaling actor pool's spin-up dominates this small
+    # post-LSH stage
     verified = j2.map_batches(
-        JaccardVerify,
-        fn_constructor_kwargs={"k": shingle_k},
+        JaccardVerify(shingle_k),
         batch_format="pandas",
         batch_size=2048,
-        concurrency=(1, 4),
     )
     df = verified.to_pandas()  # final result: the near-dup pair list
     if len(df) == 0:
