@@ -321,30 +321,51 @@ GROUP BY p_brand ORDER BY p_brand
 """
 
 
+N_USER_BUCKETS = 64
+
+
+def _user_bucketed(ev):
+    """Coarse-key events by hash(user) — each user lands wholly in one
+    of N_USER_BUCKETS groups, so per-user windowing runs as ONE
+    vectorized pandas kernel over MANY users per group instead of a
+    ~1 ms-overhead Ray group per user (pathological at 10⁹ users)."""
+
+    def key(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["__ub"] = (
+            pd.util.hash_array(b["user_id"].to_numpy()) % N_USER_BUCKETS
+        ).astype("int64")
+        return b
+
+    return ev.map_batches(key, batch_format="pandas").groupby("__ub")
+
+
 def events_sessionize(sf_dir):
     """Session windows per user: new session when the gap to the
     previous event exceeds 30 min (ray_guide.md 'Streaming-shaped
-    workloads': sort-within-group windowing)."""
+    workloads': sort-within-group windowing). User-bucketed: the
+    session arithmetic is vectorized ACROSS users inside each coarse
+    group (boundary-reset diff + grouped cumsum — no per-user Python)."""
     ev = ops.read(sf_dir, "events", columns=["user_id", "ts", "value", "event_id"])
 
     def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
+        g = g.sort_values(["user_id", "ts", "event_id"])
         gap = g["ts"].diff().dt.total_seconds()
-        new_s = (gap.isna() | (gap > 1800)).astype("int64")
-        g["session_idx"] = new_s.cumsum()
+        new_user = g["user_id"].ne(g["user_id"].shift())
+        new_s = (new_user | (gap > 1800)).astype("int64")
+        g["session_idx"] = new_s.groupby(g["user_id"].to_numpy()).cumsum()
         # Sum in exact integer cents: `value` is 2-decimal money, so the
         # int64 sum is order-independent and bit-identical to the oracle's
         # (avoids the float-summation / half-even-vs-half-away .xx5 hole).
         g["cents"] = np.rint(g["value"].to_numpy() * 100.0).astype("int64")
-        out = g.groupby("session_idx", as_index=False).agg(
+        out = g.groupby(["user_id", "session_idx"], as_index=False).agg(
             n_events=("ts", "size"), cents=("cents", "sum")
         )
-        out.insert(0, "user_id", g["user_id"].iloc[0])
         out["sum_value"] = out["cents"] / 100.0
         out["n_events"] = out["n_events"].astype("int64")
         return out.drop(columns=["cents"])
 
-    out = ev.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    out = _user_bucketed(ev).map_groups(sessions, batch_format="pandas")
     return out.sort(["user_id", "session_idx"])
 
 
@@ -561,18 +582,20 @@ FROM w GROUP BY window_start ORDER BY window_start
 
 def events_asof_last_click(sf_dir):
     """As-of join (self): for every 'error' event, the user's most
-    recent STRICTLY-PRIOR 'click'. Implemented as
-    groupby(user).map_groups with a sorted forward-fill — the
-    partitioning assumption (all of a user's events co-grouped) is the
-    documented requirement (SURVEY.md §2 custom-operator note)."""
+    recent STRICTLY-PRIOR 'click'. User-bucketed (the partitioning
+    assumption — all of a user's events co-grouped — is the documented
+    requirement, SURVEY.md §2 custom-operator note); inside a bucket
+    the forward-fill is vectorized across users via grouped
+    shift/ffill, no per-user Python."""
     ev = ops.read(
         sf_dir, "events", columns=["user_id", "ts", "event_id", "event_type"]
     )
 
     def asof(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
+        g = g.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+        uid = g["user_id"].to_numpy()
         click_ts = g["ts"].where(g["event_type"] == "click")
-        last_click = click_ts.shift(1).ffill()
+        last_click = click_ts.groupby(uid).shift(1).groupby(uid).ffill()
         err = g[g["event_type"] == "error"].copy()
         err["last_click"] = last_click[err.index]
         err = err.dropna(subset=["last_click"])
@@ -586,7 +609,7 @@ def events_asof_last_click(sf_dir):
             }
         )
 
-    out = ev.groupby("user_id").map_groups(asof, batch_format="pandas")
+    out = _user_bucketed(ev).map_groups(asof, batch_format="pandas")
     return out.sort(["user_id", "event_id"])
 
 
