@@ -232,3 +232,33 @@ def test_bucket_join_string_keys(ray_session):
     )
     assert list(out["k"]) == ["a", "a", "c"]
     assert list(out["rv"]) == [10, 10, 30]
+
+
+def test_clean_corpus_planted_clusters(planted):
+    """Composed dedup: planted near-dups + exact dups collapse into
+    clusters with the smallest doc_id as canonical; everything else is
+    its own canonical."""
+    import ray.data as rd
+
+    ds, df, expected = planted
+    # add two exact copies of doc 0 at high ids
+    n = len(df)
+    extra = pd.DataFrame(
+        {"doc_id": [n + 100, n + 101], "text": [df["text"][0]] * 2}
+    )
+    full = pd.concat([df, extra], ignore_index=True)
+    out = dedup.clean_corpus(
+        rd.from_pandas(full), jaccard_threshold=0.8
+    ).to_pandas()
+    assert len(out) == len(full)
+    lut = dict(zip(out["doc_id"], out["canonical_id"]))
+    # exact copies of doc 0 collapse to 0
+    assert lut[n + 100] == 0 and lut[n + 101] == 0
+    # every planted near-dup pair shares a canonical
+    for a, b in expected:
+        assert lut[a] == lut[b], (a, b)
+    # canonical = min of its cluster; canonical rows are marked
+    clusters = out.groupby("canonical_id")["doc_id"].min()
+    assert (clusters.index == clusters.values).all()
+    marked = set(out[out["is_canonical"] == 1]["doc_id"])
+    assert set(out["canonical_id"]) <= marked

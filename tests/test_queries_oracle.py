@@ -105,6 +105,7 @@ def test_oracle_match(registry, name):
         "doc_fingerprints",
         "minhash_near_dups",
         "simhash_near_dups",
+        "dedup_clean_corpus",
         "ivf_ann_topk",
         "tile_pyramid_stats",
         "tile_pyramid_stats_geodetic",

@@ -440,6 +440,109 @@ def simhash_pairs(docs_ds, *, max_hamming=3, concurrency=(1, 8), n_coarse=64):
     return df.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
+def clean_corpus(docs_ds, *, jaccard_threshold=0.8, n_coarse=64):
+    """End-to-end corpus dedup: exact-duplicate groups ∪ MinHash
+    near-dup pairs → connected components → one canonical survivor
+    (smallest doc_id) per cluster.
+
+    Shape: both edge families are produced by the distributed paths
+    above; the union-find runs driver-side over the EDGE list only
+    (proportional to the duplicate count, not the corpus — at 10¹²
+    docs swap in alternating-label-propagation rounds); the final
+    per-doc labeling maps the corpus once against the broadcast
+    parent table. Returns (doc_id, canonical_id, is_canonical) for
+    every document."""
+    import pyarrow as pa
+    import ray
+    from ray.data.aggregate import Min
+
+    # --- exact-dup edges: (member → group-min) ----------------------------
+    def hash_rows(batch: pd.DataFrame) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].to_numpy(dtype=np.int64),
+                "text_hash": batch["text"]
+                .fillna("")
+                .map(T._md5_64)
+                .to_numpy(dtype=np.int64),
+            }
+        )
+
+    hashed = docs_ds.map_batches(hash_rows, batch_format="pandas").materialize()
+    canon = hashed.groupby("text_hash").aggregate(
+        Min("doc_id", alias_name="canon_id")
+    )
+    def dup_edges(b: pd.DataFrame) -> pd.DataFrame:
+        if "doc_id" not in b.columns:  # empty-schema sentinel block
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.array([], dtype="int64"),
+                    "canon_id": pd.array([], dtype="int64"),
+                }
+            )
+        return b[b["doc_id"] != b["canon_id"]][["doc_id", "canon_id"]]
+
+    exact_edges = (
+        hashed.join(
+            canon, join_type="inner", num_partitions=8, on=("text_hash",)
+        )
+        .map_batches(dup_edges, batch_format="pandas")
+        .to_pandas()  # edges only: |exact duplicates| rows
+    )
+
+    # --- near-dup edges (bucketed LSH + exact verify) ----------------------
+    near = minhash_lsh_pairs(
+        docs_ds, jaccard_threshold=jaccard_threshold, n_coarse=n_coarse
+    )
+
+    # --- connected components over the edge list (driver: small) ----------
+    parent = {}
+
+    def find(a):
+        while parent.get(a, a) != a:
+            parent[a] = parent.get(parent[a], parent[a])
+            a = parent[a]
+        return a
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+
+    if "doc_id" in exact_edges.columns:  # empty edge set → no columns
+        for a, b in zip(exact_edges["doc_id"], exact_edges["canon_id"]):
+            union(int(a), int(b))
+    for a, b in zip(near["doc_a"], near["doc_b"]):
+        union(int(a), int(b))
+    label = {d: find(d) for d in list(parent)}
+    lref = ray.put(label)
+
+    class Label:
+        def __init__(self):
+            self.label = ray.get(lref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            ids = b["doc_id"].to_numpy(dtype=np.int64)
+            canon = np.fromiter(
+                (self.label.get(int(d), int(d)) for d in ids),
+                dtype=np.int64,
+                count=len(ids),
+            )
+            return pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "canonical_id": canon,
+                    "is_canonical": (ids == canon).astype("int64"),
+                }
+            )
+
+    out = docs_ds.select_columns(["doc_id"]).map_batches(
+        Label, batch_format="pandas", batch_size=8192, concurrency=2
+    )
+    return out.sort("doc_id")
+
+
 def ngram_jaccard_matrix(texts, k=3):
     """Exact all-pairs n-gram Jaccard for a SMALL candidate set (the
     verify kernel; driver-side only)."""

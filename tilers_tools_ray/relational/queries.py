@@ -695,6 +695,14 @@ def simhash_near_dups(sf_dir):
     return dedup.simhash_pairs(docs, max_hamming=6)
 
 
+def dedup_clean_corpus(sf_dir):
+    """Composed end-to-end dedup: exact groups ∪ MinHash near-dups →
+    connected components → canonical survivor per cluster (rows-only:
+    LSH is not SQL-expressible)."""
+    docs = ops.read(sf_dir, "documents", columns=["doc_id", "text"])
+    return dedup.clean_corpus(docs, jaccard_threshold=0.6)
+
+
 # ---------------------------------------------------------------------------
 # embeddings: similarity search
 # ---------------------------------------------------------------------------
@@ -918,6 +926,7 @@ QUERIES = {
     "doc_fingerprints": doc_fingerprints,
     "minhash_near_dups": minhash_near_dups,
     "simhash_near_dups": simhash_near_dups,
+    "dedup_clean_corpus": dedup_clean_corpus,
     "ann_cosine_topk": ann_cosine_topk,
     "ivf_ann_topk": ivf_ann_topk,
     "embedding_dup_pairs": embedding_dup_pairs,
