@@ -203,9 +203,11 @@ def _sample(pixels, spx, spy, resampling):
         ix = np.floor(spx).astype(np.int32)
         iy = np.floor(spy).astype(np.int32)
         inb = (ix >= 0) & (ix < w) & (iy >= 0) & (iy < h)
-        # clipped gather + mask multiply beats boolean fancy-indexing
         out = pixels[np.clip(iy, 0, h - 1), np.clip(ix, 0, w - 1)]
-        out *= inb[..., None].astype(np.uint8)
+        # zero only the out-of-bounds pixels (scatter ∝ edge band) —
+        # cheaper than a full 4-channel mask multiply when most of the
+        # window is in-bounds (the common footprint-window case)
+        out[~inb] = 0
         return out, inb
     if resampling == "bilinear":
         fx = spx - 0.5
@@ -463,6 +465,11 @@ def emit_fragments_for_image(
                 wx1 = min((x + 1) * TILE - gx0, ww)
                 sub = warped[wy0:wy1, wx0:wx1]
                 if not sub[:, :, 3].any():
+                    continue
+                if sub.shape[:2] == (TILE, TILE):
+                    # fully-covered tile: yield the window view directly
+                    # (consumers pack/copy; skips a zero-fill + copy)
+                    yield z, x, y, sub
                     continue
                 frag = np.zeros((TILE, TILE, 4), dtype=np.uint8)
                 oy = wy0 + gy0 - y * TILE
