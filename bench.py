@@ -84,7 +84,7 @@ def run_bench(sf_dir, num_cpus):
     sf_tag = os.path.basename(os.path.normpath(sf_dir))
     n = CORPUS_ROWS.get(sf_tag, 2000)
     paths = corpus.generate(
-        f"/tmp/ttr_bench_v2_{n}",  # v2: mixed-codec corpus (+ozf)
+        f"/tmp/ttr_bench_v3_{n}",  # v3: ozf container with alpha flag
         scale="bench",
         n_rows=n,
         seed=1234,

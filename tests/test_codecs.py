@@ -149,7 +149,7 @@ def test_ozf_scrambled_container():
     # first tile begins right after header+meta; zlib magic 0x78 only
     # appears after unscrambling
     meta_len = 256 * 3 + 4 * (1 * 1 + 1)
-    first = data[15 + meta_len]
+    first = data[16 + meta_len]
     assert first != 0x78 and (first ^ key) == 0x78
 
 

@@ -306,3 +306,32 @@ def test_unknown_srs_raises():
         raster.footprint_bbox_merc(gt, 10, 10, "EPSG:32633")
     with pytest.raises(ValueError, match="unsupported srs"):
         raster._source_coords(gt, "ESRI:54008", 5, np.arange(4), np.arange(4))
+
+
+def test_export_tree_ozf_roundtrip(ray_session, base_tiles_df, tmp_path):
+    """Tree export/import with the OZF container format: fmt column
+    sniffs OZF3 and tiles decode back (palette-lossy vs the RGBA tile,
+    alpha preserved as opaque)."""
+    from tilers_tools_ray import codecs
+
+    z_base, full_ds, df = base_tiles_df
+    sub = df.head(6)
+    keep = set(sub["tile_key"])
+    ds = full_ds.filter(lambda row: row["tile_key"] in keep)
+    root = str(tmp_path / "ozf_tree")
+    meta = tileset.export_tree(ds, root, layout="xyz", fmt="ozf")
+    assert meta["n_tiles"] == len(sub)
+    back = tileset.read_tile_tree(root, layout="xyz").to_pandas()
+    assert set(back["fmt"]) == {"ozf"}
+    dec = tileset.decode_tree_tiles(
+        tileset.read_tile_tree(root, layout="xyz")
+    ).to_pandas()
+    orig = sub.set_index("tile_key")
+    for row in dec.itertuples(index=False):
+        a = tiling.unpack_pixels(orig.loc[row.tile_key, "pixels"])
+        b = tiling.unpack_pixels(row.pixels)
+        # palette quantization: alpha binary-preserved, RGB close
+        assert np.array_equal(a[:, :, 3] > 0, b[:, :, 3] > 0)
+        opaque = a[:, :, 3] > 0
+        if opaque.any():
+            assert codecs.psnr(a[opaque][:, :3], b[opaque][:, :3]) >= 20.0

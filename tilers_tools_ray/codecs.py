@@ -378,12 +378,20 @@ def encode_ozf(rgba, level=6):
     """RGB(A) uint8 → OZF-style container: palette + 64×64 internal
     tiles, each zlib-compressed then xor-scrambled; the palette and
     tile-offset index are xor-scrambled too. Lossless when the image
-    has ≤256 distinct colors (charts do), else palette-quantized."""
+    has ≤256 distinct colors (charts do), else palette-quantized.
+    Binary transparency (alpha < 128) maps to a reserved palette
+    slot 0, recorded in the header flags (upstream OZF is opaque; the
+    tile sink needs nodata)."""
     px = np.ascontiguousarray(rgba, dtype=np.uint8)
     h, w = px.shape[:2]
     key = _ozf_key(w, h)
-    pal = build_palette(px, max_colors=256)
+    has_alpha = px.shape[2] == 4 and bool((px[:, :, 3] < 128).any())
+    pal = build_palette(px, max_colors=255 if has_alpha else 256)
     idx = quantize_to_palette(px, pal)
+    if has_alpha:
+        idx = (idx + 1).astype(np.uint8)
+        idx[px[:, :, 3] < 128] = 0
+        pal = np.vstack([np.zeros(3, dtype=np.uint8), pal])
     T = _OZF_TILE
     nty, ntx = (h + T - 1) // T, (w + T - 1) // T
     tiles = []
@@ -401,22 +409,24 @@ def encode_ozf(rgba, level=6):
     scrambled = np.frombuffer(
         pal_full.tobytes() + offsets.tobytes(), dtype=np.uint8
     ) ^ np.uint8(key)
-    header = _OZF_MAGIC + struct.pack("<IIBH", w, h, key, len(tiles))
+    header = _OZF_MAGIC + struct.pack(
+        "<IIBBH", w, h, key, 1 if has_alpha else 0, len(tiles)
+    )
     return header + scrambled.tobytes() + b"".join(t.tobytes() for t in tiles)
 
 
 def decode_ozf(data):
     assert data[:4] == _OZF_MAGIC, "not an OZF3 payload"
-    w, h, key, ntiles = struct.unpack("<IIBH", data[4:15])
+    w, h, key, flags, ntiles = struct.unpack("<IIBBH", data[4:16])
     T = _OZF_TILE
     ntx = (w + T - 1) // T
     nty = (h + T - 1) // T
     assert ntx * nty == ntiles, "corrupt OZF3 tile count"
     meta_len = 256 * 3 + (ntiles + 1) * 4
-    meta = np.frombuffer(data, np.uint8, count=meta_len, offset=15) ^ np.uint8(key)
+    meta = np.frombuffer(data, np.uint8, count=meta_len, offset=16) ^ np.uint8(key)
     pal = meta[: 256 * 3].reshape(256, 3)
     offsets = meta[256 * 3 :].view(np.uint32)
-    base = 15 + meta_len
+    base = 16 + meta_len
     idx = np.zeros((nty * T, ntx * T), dtype=np.uint8)
     for t in range(ntiles):
         raw = np.frombuffer(
@@ -429,7 +439,7 @@ def decode_ozf(data):
     idx = idx[:h, :w]
     out = np.empty((h, w, 4), dtype=np.uint8)
     out[:, :, :3] = pal[idx]
-    out[:, :, 3] = 255
+    out[:, :, 3] = np.where(idx == 0, 0, 255) if flags & 1 else 255
     return out
 
 

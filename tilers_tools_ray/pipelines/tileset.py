@@ -264,7 +264,13 @@ def read_tile_tree(root, layout="xyz"):
             keys.append(int(tg.pack_key(z, x, y)))
         for b in blobs:
             fmts.append(
-                "raw" if b[:4] == b"RAW1" else "dct" if b[:4] == b"DCT1" else "png"
+                "raw"
+                if b[:4] == b"RAW1"
+                else "dct"
+                if b[:4] == b"DCT1"
+                else "ozf"
+                if b[:4] == b"OZF3"
+                else "png"
             )
         return pa.table(
             {
