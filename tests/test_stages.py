@@ -335,3 +335,58 @@ def test_export_tree_ozf_roundtrip(ray_session, base_tiles_df, tmp_path):
         opaque = a[:, :, 3] > 0
         if opaque.any():
             assert codecs.psnr(a[opaque][:, :3], b[opaque][:, :3]) >= 20.0
+
+
+def test_dms_points_and_scalar():
+    """§2.8 DMS→decimal scalar + the Ozi DMS Point record variant."""
+    from tilers_tools_ray.stages import georef
+
+    assert georef.dms_to_deg(40, 26.232) == pytest.approx(40.4372)
+    assert georef.dms_to_deg(79, 58.93, hemi="W") == pytest.approx(-79.98216667)
+    assert georef.dms_to_deg(12, 30, 36, hemi="S") == pytest.approx(-12.51)
+    # a DMS-form sidecar solves to the same affine as its decimal twin
+    lines = [
+        "OziExplorer Map Data File Version 2.2",
+        "chart",
+        "WGS 84,EPSG:4326",
+        "Point01,xy,0.0,0.0,dms,41,0.0,N,10,0.0,W",
+        "Point02,xy,100.0,0.0,dms,41,0.0,N,9,30.0,W",
+        "Point03,xy,100.0,100.0,dms,40,30.0,N,9,30.0,W",
+        "Point04,xy,0.0,100.0,dms,40,30.0,N,10,0.0,W",
+    ]
+    gt, srs, ring, datum = georef.parse_georef_text("\n".join(lines))
+    assert srs == "EPSG:4326" and datum == "WGS 84"
+    import numpy as np
+
+    np.testing.assert_allclose(
+        gt, [-10.0, 0.005, 0.0, 41.0, 0.0, -0.005], atol=1e-9
+    )
+
+
+def test_lanczos_resampling_kernel():
+    """Lanczos-3 kernel: identity at integer-aligned samples, bounded
+    output, and sharper than bilinear on an edge."""
+    import numpy as np
+
+    from tilers_tools_ray import raster
+
+    rng = np.random.default_rng(5)
+    src = rng.integers(0, 256, (40, 40, 4)).astype(np.uint8)
+    src[:, :, 3] = 255
+    # exact pixel centers → near-identity
+    gy, gx = np.mgrid[5:15, 5:15]
+    spx = (gx + 0.5).astype(np.float64)
+    spy = (gy + 0.5).astype(np.float64)
+    out, inb = raster._sample(src, spx, spy, "lanczos")
+    assert inb.all()
+    assert np.max(np.abs(out[:, :, :3].astype(int) - src[5:15, 5:15, :3].astype(int))) <= 1
+    # a step edge: output bounded, midpoint near 50%, far sides exact
+    edge = np.zeros((16, 16, 4), np.uint8)
+    edge[:, 8:, :3] = 255
+    edge[:, :, 3] = 255
+    xs = np.linspace(4.0, 12.0, 65)[None, :]
+    ys = np.full((1, 65), 8.0)
+    lz, _ = raster._sample(edge, xs, ys, "lanczos")
+    v = lz[0, :, 0].astype(int)
+    assert 100 <= v[32] <= 155  # x=8.0 → ~half
+    assert (v[:8] <= 30).all() and (v[-8:] >= 225).all()

@@ -156,7 +156,7 @@ def build_parser():
     t.add_argument(
         "--base-resampling",
         default="nearest",
-        choices=["nearest", "bilinear", "bicubic"],
+        choices=["nearest", "bilinear", "bicubic", "lanczos"],
     )
     t.add_argument(
         "--profile",

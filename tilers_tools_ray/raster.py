@@ -259,6 +259,38 @@ def _sample(pixels, spx, spy, resampling):
         out = np.zeros(out_shape + (4,), dtype=np.uint8)
         out[inb] = np.clip(np.round(acc[inb]), 0, 255).astype(np.uint8)
         return out, inb
+    if resampling == "lanczos":
+        # Lanczos-3 (6×6 support), weight-normalized like GDAL's kernel
+        a = 3
+        fx = spx - 0.5
+        fy = spy - 0.5
+        x0 = np.floor(fx).astype(np.int64)
+        y0 = np.floor(fy).astype(np.int64)
+        tx = fx - x0
+        ty = fy - y0
+        inb = (x0 >= -1) & (x0 < w) & (y0 >= -1) & (y0 < h)
+
+        def lanczos_w(t):
+            t = np.abs(t)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                v = np.sinc(t) * np.sinc(t / a)
+            return np.where(t < a, v, 0.0)
+
+        p = pixels.astype(np.float64)
+        acc = np.zeros(out_shape + (4,), dtype=np.float64)
+        wsum = np.zeros(out_shape, dtype=np.float64)
+        for dy in range(-a + 1, a + 1):
+            wy = lanczos_w(ty - dy)
+            yc = np.clip(y0 + dy, 0, h - 1)
+            for dx in range(-a + 1, a + 1):
+                wxy = lanczos_w(tx - dx) * wy
+                xc = np.clip(x0 + dx, 0, w - 1)
+                acc += p[yc, xc] * wxy[..., None]
+                wsum += wxy
+        acc /= np.where(wsum == 0.0, 1.0, wsum)[..., None]
+        out = np.zeros(out_shape + (4,), dtype=np.uint8)
+        out[inb] = np.clip(np.round(acc[inb]), 0, 255).astype(np.uint8)
+        return out, inb
     raise ValueError(f"unknown resampling {resampling!r}")
 
 

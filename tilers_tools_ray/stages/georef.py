@@ -26,7 +26,22 @@ from ..corpus import DATUM_TABLE
 _POINT_RE = re.compile(
     r"^Point\d+,xy,([-\d.]+),([-\d.]+),world,([-\d.]+),([-\d.]+)$"
 )
+# DMS variant (real Ozi Point records carry deg,min + hemisphere for
+# lat then lon): PointNN,xy,px,py,dms,DD,MM.MMM,N|S,DD,MM.MMM,E|W
+_POINT_DMS_RE = re.compile(
+    r"^Point\d+,xy,([-\d.]+),([-\d.]+),dms,"
+    r"(\d+),([\d.]+),([NS]),(\d+),([\d.]+),([EW])$"
+)
 _MMPXY_RE = re.compile(r"^MMPXY,\d+,([-\d.]+),([-\d.]+)$")
+
+
+def dms_to_deg(deg, minutes=0.0, seconds=0.0, hemi=""):
+    """DMS → signed decimal degrees (§2.8 scalar — the readers'
+    coordinate-normalization helper; S/W hemispheres negate)."""
+    v = abs(float(deg)) + float(minutes) / 60.0 + float(seconds) / 3600.0
+    if str(hemi).upper() in ("S", "W") or float(deg) < 0:
+        v = -v
+    return v
 
 
 def parse_georef_text(text):
@@ -48,6 +63,15 @@ def parse_georef_text(text):
             py.append(float(m.group(2)))
             wx.append(float(m.group(3)) - shift[0])
             wy.append(float(m.group(4)) - shift[1])
+            continue
+        m = _POINT_DMS_RE.match(ln)
+        if m:  # lat-dms then lon-dms, as in real Ozi Point records
+            px.append(float(m.group(1)))
+            py.append(float(m.group(2)))
+            lat = dms_to_deg(m.group(3), m.group(4), hemi=m.group(5))
+            lon = dms_to_deg(m.group(6), m.group(7), hemi=m.group(8))
+            wx.append(lon - shift[0])
+            wy.append(lat - shift[1])
             continue
         m = _MMPXY_RE.match(ln)
         if m:
