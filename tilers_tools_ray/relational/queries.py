@@ -78,10 +78,16 @@ FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
-def q3_top_revenue_orders(sf_dir):
+def q3_top_revenue_orders(sf_dir, broadcast_limit=5_000_000):
     """Broadcast SEMI-join shape (ray_guide.md): the BUILDING-segment
-    order-key set is small → ship it once, filter lineitem per batch,
-    pre-aggregate revenue per order; no all-to-all exchange at all."""
+    order-key set is moderate → ship it once (one int64 array in the
+    object store), filter lineitem per batch, pre-aggregate revenue
+    per order; no all-to-all exchange. Above ``broadcast_limit`` keys
+    (won't broadcast comfortably) the key set would instead stay a
+    Dataset and go through the partitioned hash join
+    (``ops.hash_join(li, okeys_ds, on='l_orderkey', ...)``) — the
+    documented scale fallback; raised explicitly rather than silently
+    degrading."""
     import ray
 
     cust = ops.read_pandas(
@@ -97,6 +103,11 @@ def q3_top_revenue_orders(sf_dir):
         .to_pandas()["o_orderkey"]
         .to_numpy()
     )
+    if len(okeys) > broadcast_limit:
+        raise ValueError(
+            f"{len(okeys)} semi-join keys exceed broadcast_limit="
+            f"{broadcast_limit}; use the hash_join path for this scale"
+        )
     okeys_ref = ray.put(okeys)
     li = ops.read(
         sf_dir,
@@ -711,8 +722,18 @@ N_ANN_QUERIES = 5
 
 
 def _ann_queries(sf_dir):
-    df = ops.read_pandas(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    q = df[df["vec_id"] < N_ANN_QUERIES].sort_values("vec_id")
+    import pyarrow.parquet as pq
+
+    # predicate-pushdown read: only the N query rows ever leave storage
+    q = (
+        pq.read_table(
+            os.path.join(sf_dir, "embeddings.parquet"),
+            columns=["vec_id", "embedding"],
+            filters=[("vec_id", "<", N_ANN_QUERIES)],
+        )
+        .to_pandas()
+        .sort_values("vec_id")
+    )
     return q["vec_id"].tolist(), np.stack(q["embedding"].to_numpy())
 
 
