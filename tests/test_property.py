@@ -113,3 +113,61 @@ def test_pip_matches_fill(n, seed):
         16, 16
     )
     assert np.array_equal(mask > 0, pip)
+
+
+@given(
+    h=st.integers(8, 140),
+    w=st.integers(8, 140),
+    n_colors=st.integers(1, 40),
+    seed=st.integers(0, 10_000),
+    alpha=st.booleans(),
+)
+@settings(max_examples=40, deadline=None)
+def test_ozf_roundtrip_any_paletted_image(h, w, n_colors, seed, alpha):
+    """OZF container: LOSSLESS for any image with ≤256 distinct colors,
+    any size (edge-tile padding), with or without binary alpha."""
+    rng = np.random.default_rng(seed)
+    pal = rng.integers(0, 256, (n_colors, 3)).astype(np.uint8)
+    idx = rng.integers(0, n_colors, (h, w))
+    img = np.empty((h, w, 4), dtype=np.uint8)
+    img[:, :, :3] = pal[idx]
+    img[:, :, 3] = 255
+    if alpha:
+        img[:, :, 3] = np.where(rng.random((h, w)) < 0.3, 0, 255)
+    back = codecs.decode_ozf(codecs.encode_ozf(img))
+    if alpha:
+        assert np.array_equal(back[:, :, 3], img[:, :, 3])
+        opaque = img[:, :, 3] == 255
+        assert np.array_equal(back[opaque], img[opaque])
+    else:
+        assert np.array_equal(back, img)
+
+
+@given(
+    h=st.integers(4, 100),
+    w=st.integers(4, 100),
+    n_colors=st.integers(1, 60),
+    seed=st.integers(0, 10_000),
+)
+@settings(max_examples=40, deadline=None)
+def test_png8_roundtrip_any_paletted_image(h, w, n_colors, seed):
+    rng = np.random.default_rng(seed)
+    pal = rng.integers(0, 256, (n_colors, 3)).astype(np.uint8)
+    img = np.empty((h, w, 4), dtype=np.uint8)
+    img[:, :, :3] = pal[rng.integers(0, n_colors, (h, w))]
+    img[:, :, 3] = 255
+    back = codecs.decode_png(codecs.encode_png8(img))
+    assert np.array_equal(back, img)
+
+
+@given(text=st.text(max_size=400))
+@settings(max_examples=60, deadline=None)
+def test_georef_parsers_never_crash_unstructured(text):
+    """Malformed sidecar text raises ValueError, never another
+    exception (the parser-contract fuzz)."""
+    from tilers_tools_ray.stages import georef
+
+    try:
+        georef.parse_georef_any(text)
+    except ValueError:
+        pass
