@@ -262,3 +262,14 @@ def test_clean_corpus_planted_clusters(planted):
     assert (clusters.index == clusters.values).all()
     marked = set(out[out["is_canonical"] == 1]["doc_id"])
     assert set(out["canonical_id"]) <= marked
+
+
+def test_minhash_join_fallback_matches_broadcast(planted):
+    """Above broadcast_limit the verify path switches to the two
+    hash-partitioned joins — identical pairs either way."""
+    ds, df, expected = planted
+    a = dedup.minhash_lsh_pairs(ds, jaccard_threshold=0.8)
+    b = dedup.minhash_lsh_pairs(ds, jaccard_threshold=0.8, broadcast_limit=0)
+    pd.testing.assert_frame_equal(
+        a.reset_index(drop=True), b.reset_index(drop=True)
+    )

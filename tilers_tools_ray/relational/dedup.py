@@ -190,6 +190,7 @@ def minhash_lsh_pairs(
     concurrency=(1, 8),
     n_coarse=64,
     join_partitions=8,
+    broadcast_limit=100_000,
 ):
     """Near-duplicate pairs via MinHash+LSH, end-to-end distributed.
 
@@ -267,7 +268,6 @@ def minhash_lsh_pairs(
     # candidate sets.
     n_cands = cands.count()
     texts = docs_ds.select_columns(["doc_id", "text"])
-    broadcast_limit = 100_000
     if n_cands <= broadcast_limit:
         import ray
 
