@@ -127,6 +127,8 @@ def geodetic_images(tmp_path_factory):
             }
         )
     merc_px = np.full((128, 128, 4), 200, np.uint8)
+    merc_px[:, :, 3] = 255  # opaque (fractional alpha would make
+    # self-merge legitimately non-idempotent under Porter-Duff OVER)
     rows.append(
         {
             "image_id": "geo-merc",
@@ -200,3 +202,31 @@ def test_resume_profile_mismatch_raises(ray_session, geodetic_images, tmp_path):
         pyramid.write_pyramid(
             images_path, out, z_min=1, salt=False, profile="geodetic"
         )
+
+
+def test_geodetic_merge_and_tree_roundtrip(ray_session, geodetic_images, tmp_path):
+    """Tile-set machinery is profile-agnostic: merging a geodetic
+    pyramid with itself is identity; tms tree export/import round-trips
+    (geodetic ny=2^z matches the tms y-flip domain)."""
+    from tilers_tools_ray.pipelines import tileset
+
+    images_path, z = geodetic_images
+    out = str(tmp_path / "gp")
+    pyramid.write_pyramid(images_path, out, z_min=2, salt=False, profile="geodetic")
+    tiles = pyramid.read_tiles(out, z=z)
+    merged = tileset.merge_tilesets([tiles, tiles]).to_pandas()
+    orig = tiles.to_pandas()
+    assert sorted(merged["tile_key"]) == sorted(orig["tile_key"])
+    a = orig.set_index("tile_key")
+    for row in merged.itertuples(index=False):
+        assert np.array_equal(
+            tiling.unpack_pixels(a.loc[row.tile_key, "pixels"]),
+            tiling.unpack_pixels(row.pixels),
+        )
+    root = str(tmp_path / "gtree")
+    meta = tileset.export_tree(tiles, root, layout="tms", fmt="png")
+    assert meta["n_tiles"] == len(orig)
+    back = tileset.decode_tree_tiles(
+        tileset.read_tile_tree(root, layout="tms")
+    ).to_pandas()
+    assert sorted(back["tile_key"]) == sorted(orig["tile_key"])
