@@ -80,6 +80,7 @@ def test_entry_smoke(ray_session):
         "segment_distinct_customers",
         "doc_token_stats",
         "dedup_exact_docs",
+        "ngram_jaccard_pairs",
         "ann_cosine_topk",
         "embedding_dup_pairs",
     ],

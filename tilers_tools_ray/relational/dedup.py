@@ -440,6 +440,151 @@ def simhash_pairs(docs_ds, *, max_hamming=3, concurrency=(1, 8), n_coarse=64):
     return df.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
+def ngram_jaccard_pairs(
+    docs_ds, *, threshold=0.6, shingle_k=3, n_blocks=8, concurrency=(1, 8)
+):
+    """EXACT all-pairs n-gram Jaccard ≥ threshold — the LSH path's
+    audit/ground-truth counterpart, distributed as block-pair groups:
+    shingle-set hashes per doc (actor pool) → docs hashed into
+    ``n_blocks`` blocks → every block pair (i ≤ j) scored in its own
+    reduce (sorted-array intersections). O(n²/B²) docs per group and
+    sets ship as packed int64 — no driver collection. Returns
+    (doc_a, doc_b, jaccard), doc_a < doc_b, sorted."""
+    import pyarrow as pa
+
+    class ShingleSets:
+        def __init__(self, k):
+            self.mh = T.MinHasher.__new__(T.MinHasher)
+            self.mh.k = k
+
+        def __call__(self, b: pd.DataFrame) -> pa.Table:
+            ids = b["doc_id"].to_numpy(dtype=np.int64)
+            packs = []
+            for t in b["text"].fillna(""):
+                sh = np.unique(
+                    np.fromiter(
+                        (T._md5_64(s) for s in self.mh.shingles(t.lower())),
+                        dtype=np.int64,
+                    )
+                )
+                packs.append(sh.tobytes())
+            return pa.table(
+                {
+                    "doc_id": ids,
+                    "block": (ids % n_blocks).astype(np.int64),
+                    "sh": pa.array(packs, pa.binary()),
+                }
+            )
+
+    hashed = docs_ds.map_batches(
+        ShingleSets,
+        fn_constructor_kwargs={"k": shingle_k},
+        batch_format="pandas",
+        batch_size=1024,
+        concurrency=concurrency,
+    )
+
+    pairs = [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)]
+    partners = {}
+    for pid, (i, j) in enumerate(pairs):
+        partners.setdefault(i, []).append((pid, 0))
+        if j != i:
+            partners.setdefault(j, []).append((pid, 1))
+
+    def pack_block(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id")
+        ids = g["doc_id"].to_numpy(dtype=np.int64)
+        offs = np.zeros(len(g) + 1, dtype=np.int64)
+        offs[1:] = np.cumsum([len(s) // 8 for s in g["sh"]])
+        vals = b"".join(g["sh"])
+        block = int(g["block"].iloc[0])
+        rows = [
+            {"pair": pid, "role": role, "ids": ids.tobytes(),
+             "offs": offs.tobytes(), "vals": vals}
+            for pid, role in partners.get(block, [])
+        ]
+        if not rows:
+            return pd.DataFrame(
+                {"pair": pd.array([], dtype="int64"),
+                 "role": pd.array([], dtype="int64"),
+                 "ids": pd.array([], dtype=object),
+                 "offs": pd.array([], dtype=object),
+                 "vals": pd.array([], dtype=object)}
+            )
+        return pd.DataFrame(rows)
+
+    replicated = (
+        hashed.groupby("block")
+        .map_groups(pack_block, batch_format="pandas")
+        .materialize()  # chained all-to-all boundary (see exact_dedup)
+    )
+
+    def score_pair(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"doc_a": pd.array([], dtype="int64"),
+             "doc_b": pd.array([], dtype="int64"),
+             "jaccard": pd.array([], dtype="float64")}
+        )
+        blocks = {}
+        for _, row in g.iterrows():
+            ids = np.frombuffer(row["ids"], dtype=np.int64)
+            offs = np.frombuffer(row["offs"], dtype=np.int64)
+            vals = np.frombuffer(row["vals"], dtype=np.int64)
+            blocks[int(row["role"])] = (ids, offs, vals)
+
+        def sets_of(b):
+            ids, offs, vals = b
+            return ids, [vals[offs[i] : offs[i + 1]] for i in range(len(ids))]
+
+        out_a, out_b, out_j = [], [], []
+
+        def jac(sa, sb):
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            union = len(sa) + len(sb) - inter
+            return inter / max(union, 1)
+
+        if len(blocks) == 1:  # intra-block pair
+            ids, sets = sets_of(blocks[0])
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    v = jac(sets[i], sets[j])
+                    if v >= threshold:
+                        out_a.append(ids[i])
+                        out_b.append(ids[j])
+                        out_j.append(v)
+        else:
+            ids_a, sets_a = sets_of(blocks[0])
+            ids_b, sets_b = sets_of(blocks[1])
+            for i in range(len(ids_a)):
+                for j in range(len(ids_b)):
+                    v = jac(sets_a[i], sets_b[j])
+                    if v >= threshold:
+                        lo, hi = sorted((int(ids_a[i]), int(ids_b[j])))
+                        out_a.append(lo)
+                        out_b.append(hi)
+                        out_j.append(v)
+        if not out_a:
+            return empty
+        return pd.DataFrame(
+            {"doc_a": np.array(out_a, dtype=np.int64),
+             "doc_b": np.array(out_b, dtype=np.int64),
+             "jaccard": np.round(out_j, 6)}
+        )
+
+    df = (
+        replicated.groupby("pair")
+        .map_groups(score_pair, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(df) == 0:
+        return pd.DataFrame(
+            {"doc_a": pd.array([], dtype="int64"),
+             "doc_b": pd.array([], dtype="int64"),
+             "jaccard": pd.array([], dtype="float64")}
+        )
+    return df.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
 def clean_corpus(docs_ds, *, jaccard_threshold=0.8, n_coarse=64):
     """End-to-end corpus dedup: exact-duplicate groups ∪ MinHash
     near-dup pairs → connected components → one canonical survivor

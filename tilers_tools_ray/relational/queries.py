@@ -706,6 +706,39 @@ def simhash_near_dups(sf_dir):
     return dedup.simhash_pairs(docs, max_hamming=6)
 
 
+def ngram_jaccard_pairs(sf_dir):
+    """Exact all-pairs n-gram Jaccard (the LSH path's ground truth) —
+    SQL-expressible via DuckDB list functions, so ORACLED."""
+    docs = ops.read(sf_dir, "documents", columns=["doc_id", "text"])
+    return dedup.ngram_jaccard_pairs(docs, threshold=0.6)
+
+
+NGRAM_JACCARD_SQL = r"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+), t AS (
+  SELECT doc_id,
+         list_distinct(
+           CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                ELSE list_transform(range(len(toks) - 2),
+                                    i -> toks[i+1] || ' ' || toks[i+2]
+                                         || ' ' || toks[i+3])
+           END) AS sh
+  FROM tok
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+FROM t a JOIN t b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      / len(list_distinct(a.sh || b.sh)) >= 0.6
+ORDER BY doc_a, doc_b
+"""
+
+
 def dedup_clean_corpus(sf_dir):
     """Composed end-to-end dedup: exact groups ∪ MinHash near-dups →
     connected components → canonical survivor per cluster (rows-only:
@@ -947,6 +980,7 @@ QUERIES = {
     "doc_fingerprints": doc_fingerprints,
     "minhash_near_dups": minhash_near_dups,
     "simhash_near_dups": simhash_near_dups,
+    "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "dedup_clean_corpus": dedup_clean_corpus,
     "ann_cosine_topk": ann_cosine_topk,
     "ivf_ann_topk": ivf_ann_topk,
@@ -976,6 +1010,7 @@ ORACLES = {
     "segment_distinct_customers": DISTINCT_SQL,
     "doc_token_stats": TOKEN_STATS_SQL,
     "dedup_exact_docs": DEDUP_EXACT_SQL,
+    "ngram_jaccard_pairs": NGRAM_JACCARD_SQL,
     "ann_cosine_topk": ANN_SQL,
     "embedding_dup_pairs": EMB_DUP_SQL,
 }
