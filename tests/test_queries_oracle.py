@@ -81,6 +81,8 @@ def test_entry_smoke(ray_session):
         "doc_token_stats",
         "dedup_exact_docs",
         "ngram_jaccard_pairs",
+        "doc_quality",
+        "lang_id",
         "ann_cosine_topk",
         "embedding_dup_pairs",
     ],
@@ -101,8 +103,6 @@ def test_oracle_match(registry, name):
 @pytest.mark.parametrize(
     "name",
     [
-        "doc_quality",
-        "lang_id",
         "doc_fingerprints",
         "minhash_near_dups",
         "simhash_near_dups",

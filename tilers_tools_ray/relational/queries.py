@@ -681,12 +681,83 @@ def doc_quality(sf_dir):
     return out.sort("doc_id")
 
 
+def _stopword_sql_list():
+    words = sorted(frozenset().union(*text.STOPWORDS.values()))
+    return "[" + ",".join(f"'{w}'" for w in words) + "]"
+
+
+DOC_QUALITY_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, coalesce(text, '') AS text,
+         regexp_extract_all(coalesce(text, ''), '\S+') AS toks
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         len(toks) AS n_tok,
+         length(text) AS n_chars,
+         len(list_filter(toks,
+             x -> list_contains({_stopword_sql_list()}, lower(x)))) AS stop,
+         length(text) - length(
+             regexp_replace(text, '[^\p{{L}}\p{{N}}_\s]', '', 'g')) AS punct
+  FROM t
+), r AS (
+  SELECT doc_id, n_tok,
+         CASE WHEN n_tok > 0 THEN CAST(stop AS DOUBLE) / n_tok
+              ELSE 0.0 END AS sr,
+         CASE WHEN n_chars > 0 THEN CAST(punct AS DOUBLE) / n_chars
+              ELSE 0.0 END AS pr
+  FROM m
+)
+SELECT doc_id, n_tok AS n_tokens,
+       round(sr, 6) AS stop_ratio,
+       round(pr, 6) AS punct_ratio,
+       round_even(least(greatest(n_tok / 20.0, 0), 1) * 0.4
+             + least(greatest(1.0 - pr * 5, 0), 1) * 0.3
+             + least(greatest(sr * 3, 0), 1) * 0.3, 6) AS quality_score
+FROM r ORDER BY doc_id
+"""
+
+
 def lang_id(sf_dir):
     docs = ops.read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
     out = docs.map_batches(
         text.LangId, batch_format="pandas", batch_size=2048, concurrency=(1, 4)
     )
     return out.sort("doc_id")
+
+
+def _lang_sql_list(lang):
+    return "[" + ",".join(f"'{w}'" for w in sorted(text.STOPWORDS[lang])) + "]"
+
+
+LANG_ID_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, lang, coalesce(text, '') AS text,
+         regexp_extract_all(lower(coalesce(text, '')), '[\p{{L}}]+') AS words
+  FROM documents
+), c AS (
+  SELECT doc_id, lang, text, len(words) AS n_words,
+    len(list_filter(words, w -> list_contains({_lang_sql_list("de")}, w))) AS c_de,
+    len(list_filter(words, w -> list_contains({_lang_sql_list("en")}, w))) AS c_en,
+    len(list_filter(words, w -> list_contains({_lang_sql_list("es")}, w))) AS c_es,
+    len(list_filter(words, w -> list_contains({_lang_sql_list("fr")}, w))) AS c_fr
+  FROM t
+)
+SELECT doc_id,
+  CASE WHEN regexp_matches(text, '[\x{{4e00}}-\x{{9fff}}]') THEN 'zh'
+       WHEN n_words = 0 THEN 'en'
+       WHEN c_de >= c_en AND c_de >= c_es AND c_de >= c_fr THEN 'de'
+       WHEN c_en >= c_es AND c_en >= c_fr THEN 'en'
+       WHEN c_es >= c_fr THEN 'es'
+       ELSE 'fr' END AS pred_lang,
+  CAST((CASE WHEN regexp_matches(text, '[\x{{4e00}}-\x{{9fff}}]') THEN 'zh'
+       WHEN n_words = 0 THEN 'en'
+       WHEN c_de >= c_en AND c_de >= c_es AND c_de >= c_fr THEN 'de'
+       WHEN c_en >= c_es AND c_en >= c_fr THEN 'en'
+       WHEN c_es >= c_fr THEN 'es'
+       ELSE 'fr' END) = lang AS BIGINT) AS is_correct
+FROM c ORDER BY doc_id
+"""
 
 
 def doc_fingerprints(sf_dir):
@@ -1011,6 +1082,8 @@ ORACLES = {
     "doc_token_stats": TOKEN_STATS_SQL,
     "dedup_exact_docs": DEDUP_EXACT_SQL,
     "ngram_jaccard_pairs": NGRAM_JACCARD_SQL,
+    "doc_quality": DOC_QUALITY_SQL,
+    "lang_id": LANG_ID_SQL,
     "ann_cosine_topk": ANN_SQL,
     "embedding_dup_pairs": EMB_DUP_SQL,
 }
