@@ -145,3 +145,35 @@ def test_cascade_level_resume(ray_session, tiny_corpus, golden_pyramid, tmp_path
     )
     after = pyramid.read_tiles(out, victim_z).to_pandas()
     _assert_level_equal(_tiles_to_dict(after), _tiles_to_dict(before), victim_z)
+
+
+def test_overview_resampling_nearest(ray_session, tiny_corpus, tmp_path):
+    """--overview-resampling nearest: each parent pixel is the
+    top-left child pixel of its 2×2 block (vs the default box mean)."""
+    import numpy as np
+
+    from tilers_tools_ray import raster
+    from tilers_tools_ray.pipelines import pyramid
+    from tilers_tools_ray.stages import tiling
+
+    out = str(tmp_path / "nn_pyr")
+    s = pyramid.write_pyramid(
+        tiny_corpus["images"], out, z_min=None or 7, salt=False,
+        overview_resampling="nearest",
+    )
+    zs = sorted(s)
+    z_hi, z_lo = zs[-1], zs[-2]
+    base = pyramid.read_tiles(out, z=z_hi).to_pandas()
+    over = pyramid.read_tiles(out, z=z_lo).to_pandas().set_index(["x", "y"])
+    kids = {}
+    for row in base.itertuples(index=False):
+        kids.setdefault((row.x >> 1, row.y >> 1), {})[
+            (row.x & 1, row.y & 1)
+        ] = tiling.unpack_pixels(row.pixels)
+    checked = 0
+    for (px, py), ch in kids.items():
+        expect = raster.downsample_children(ch, mode="nearest")
+        got = tiling.unpack_pixels(over.loc[(px, py), "pixels"])
+        assert np.array_equal(got, expect)
+        checked += 1
+    assert checked > 0

@@ -59,6 +59,7 @@ def cmd_tiler(args):
         resampling=args.base_resampling,
         salt="auto" if not args.no_salt else None,
         profile=profile,
+        overview_resampling=args.overview_resampling,
     )
     print(json.dumps({str(k): v for k, v in summary.items()}, indent=1))
 
@@ -157,6 +158,12 @@ def build_parser():
         "--base-resampling",
         default="nearest",
         choices=["nearest", "bilinear", "bicubic", "lanczos"],
+    )
+    t.add_argument(
+        "--overview-resampling",
+        default="box",
+        choices=["box", "nearest"],
+        help="box = antialias-equivalent 2x2 mean (default)",
     )
     t.add_argument(
         "--profile",

@@ -245,7 +245,7 @@ def base_tiles(
     )
 
 
-def overview_tiles(tiles_ds, z_child, *, z_part=None):
+def overview_tiles(tiles_ds, z_child, *, z_part=None, overview_resampling="box"):
     """One overview step: tiles at z_child → tiles at z_child-1 (pure)."""
     if z_part is None:
         z_part = default_z_part(z_child - 1)
@@ -253,7 +253,8 @@ def overview_tiles(tiles_ds, z_child, *, z_part=None):
         lambda b: tiling.add_parent_part(b, z_part), batch_format="pyarrow"
     )
     return with_parent.groupby("part").map_groups(
-        tiling.downsample_part_group, batch_format="pyarrow"
+        lambda g, _m=overview_resampling: tiling.downsample_part_group(g, _m),
+        batch_format="pyarrow",
     )
 
 
@@ -335,6 +336,7 @@ def write_pyramid(
     batch_size=16,
     concurrency=None,
     profile="mercator",
+    overview_resampling="box",
 ):
     """Full checkpointed pyramid build. Returns the job summary (A5).
 
@@ -355,6 +357,7 @@ def write_pyramid(
             "z_base": int(z_base),
             "z_min": int(z_min),
             "resampling": resampling,
+            "overview_resampling": overview_resampling,
         },
     )
     # --- base level --------------------------------------------------------
@@ -447,7 +450,9 @@ def write_pyramid(
 
         def _commit_cascade(group: pa.Table) -> pa.Table:
             t0 = time.monotonic()
-            per_level = tiling.cascade_part_group(group, anchor_z, z_base)
+            per_level = tiling.cascade_part_group(
+                group, anchor_z, z_base, overview_resampling
+            )
             part = int(group.column("part")[0].as_py())
             rows = {"z": [], "part": [], "n_tiles": [], "checksum_xor": []}
             for z, tbl in per_level.items():
@@ -509,7 +514,13 @@ def write_pyramid(
                 batch_format="pyarrow",
             )
         out = with_parent.groupby("part").map_groups(
-            _commit_group_fn(out_dir, z, tiling.downsample_part_group),
+            _commit_group_fn(
+                out_dir,
+                z,
+                lambda g, _m=overview_resampling: tiling.downsample_part_group(
+                    g, _m
+                ),
+            ),
             batch_format="pyarrow",
         )
         stats = out.to_pandas()

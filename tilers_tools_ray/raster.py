@@ -442,13 +442,22 @@ def composite_fragments(frags):
 # ---------------------------------------------------------------------------
 
 
-def downsample_children(children):
+def downsample_children(children, mode="box"):
     """children: dict {(dx, dy) in {0,1}²: 256×256×4 uint8} → parent tile.
 
-    Assembles the 512×512 mosaic (missing quadrants transparent) and
-    box-filters 2×2 → 256×256. Channels averaged independently with
+    ``box`` (default): assemble the 512×512 mosaic (missing quadrants
+    transparent) and box-filter 2×2 → 256×256, channels averaged with
     round-half-up — the deterministic equivalent of the reference's
-    antialias ×2 shrink for the exact-factor-2 case [C semantics]."""
+    antialias ×2 shrink for the exact-factor-2 case [C semantics].
+    ``nearest``: top-left child pixel of each 2×2 (the reference's
+    --overview-resampling nearest)."""
+    if mode == "nearest":
+        mosaic = np.zeros((2 * TILE, 2 * TILE, 4), dtype=np.uint8)
+        for (dx, dy), px in children.items():
+            mosaic[dy * TILE : (dy + 1) * TILE, dx * TILE : (dx + 1) * TILE] = px
+        return mosaic[0::2, 0::2].copy()
+    if mode != "box":
+        raise ValueError(f"unknown overview resampling {mode!r}")
     mosaic = np.zeros((2 * TILE, 2 * TILE, 4), dtype=np.uint16)
     for (dx, dy), px in children.items():
         mosaic[dy * TILE : (dy + 1) * TILE, dx * TILE : (dx + 1) * TILE] = px
@@ -555,13 +564,13 @@ def reduce_merge_group(entries):
     return pixels, caption, src_ids
 
 
-def reduce_parent_group(children):
+def reduce_parent_group(children, mode="box"):
     """Overview reduce: children = dict {(dx,dy): (pixels, caption,
     src_ids)} → (pixels, caption, src_ids) of the parent.
 
     Caption: child with max opaque pixels, ties by (dy, dx). src_ids:
     sorted dedup union (lineage)."""
-    pixels = downsample_children({k: v[0] for k, v in children.items()})
+    pixels = downsample_children({k: v[0] for k, v in children.items()}, mode)
     best_key = max(
         children,
         key=lambda k: (int((children[k][0][:, :, 3] > 0).sum()), -k[1], -k[0]),

@@ -407,7 +407,7 @@ def add_parent_part(batch: pa.Table, z_part: int) -> pa.Table:
     return batch.append_column("part", pa.array(part, pa.int64()))
 
 
-def downsample_part_group(group: pa.Table) -> pa.Table:
+def downsample_part_group(group: pa.Table, mode="box") -> pa.Table:
     """All child tiles of one parent-part → parent tile rows (A2)."""
     part = int(group.column("part")[0].as_py())
     pkeys = group.column("parent_key").to_pylist()
@@ -425,12 +425,14 @@ def downsample_part_group(group: pa.Table) -> pa.Table:
         )
     reduced = []
     for pk in sorted(by_parent):
-        pixels, caption, src_ids = raster.reduce_parent_group(by_parent[pk])
+        pixels, caption, src_ids = raster.reduce_parent_group(
+            by_parent[pk], mode
+        )
         reduced.append((part, pk, pixels, caption, src_ids))
     return _tile_rows(reduced)
 
 
-def cascade_part_group(group: pa.Table, z_min: int, z_base: int):
+def cascade_part_group(group: pa.Table, z_min: int, z_base: int, mode="box"):
     """ONE group = all base tiles under one z_min-ancestor cell →
     the ENTIRE overview cascade z_base-1 … z_min for that cell, built
     locally (A2 applied level by level in-memory). Replaces one
@@ -454,7 +456,8 @@ def cascade_part_group(group: pa.Table, z_min: int, z_base: int):
             pk = int(tg.pack_key(z, kx >> 1, ky >> 1))
             parents.setdefault(pk, {})[(kx & 1, ky & 1)] = val
         level = {
-            pk: raster.reduce_parent_group(ch) for pk, ch in parents.items()
+            pk: raster.reduce_parent_group(ch, mode)
+            for pk, ch in parents.items()
         }
         out[z] = _tile_rows(
             [(part, pk, v[0], v[1], v[2]) for pk, v in sorted(level.items())]
