@@ -41,6 +41,8 @@ BENCH_QUERIES = [
     "dedup_exact_docs",
     "minhash_near_dups",
     "simhash_near_dups",
+    "ngram_jaccard_pairs",
+    "dedup_clean_corpus",
     "ann_cosine_topk",
     "embedding_dup_pairs",
     "spatial_join_images",
