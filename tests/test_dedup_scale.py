@@ -273,3 +273,33 @@ def test_minhash_join_fallback_matches_broadcast(planted):
     pd.testing.assert_frame_equal(
         a.reset_index(drop=True), b.reset_index(drop=True)
     )
+
+
+def test_minhash_scale_smoke(ray_session):
+    """Bucketed LSH at 8k docs (~128k band rows): finishes quickly,
+    finds every planted dup, zero false positives below threshold."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(21)
+    n, n_dups = 8000, 40
+    texts = [
+        " ".join(rng.choice(_WORDS, size=40).tolist()) for _ in range(n)
+    ]
+    planted = set()
+    for d in range(n_dups):
+        src = int(rng.integers(0, n))
+        toks = texts[src].split()
+        toks[int(rng.integers(0, len(toks)))] = "zulu"
+        texts.append(" ".join(toks))
+        planted.add((src, n + d))
+    df = pd.DataFrame(
+        {"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts}
+    )
+    ds = rd.from_pandas(df).repartition(8)
+    t0 = time.monotonic()
+    out = dedup.minhash_lsh_pairs(ds, jaccard_threshold=0.85)
+    wall = time.monotonic() - t0
+    got = set(zip(out["doc_a"], out["doc_b"]))
+    assert planted <= got, f"missed {planted - got}"
+    assert (out["jaccard"] >= 0.85).all()
+    assert wall < 120, f"bucketed LSH too slow at 8k docs: {wall:.1f}s"
