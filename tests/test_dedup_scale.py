@@ -138,6 +138,55 @@ def test_embedding_dup_pairs_matches_brute_force(ray_session):
         assert got == expect, f"thr={thr}: {len(got)} vs {len(expect)} pairs"
 
 
+def test_embedding_dup_pairs_sub_blocked_exact(ray_session):
+    """With sub_rows far below the cell sizes, every cell splits into
+    many sub-blocks — the pair set must still be exactly the all-pairs
+    answer, and no packed row may exceed sub_rows vectors."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(5)
+    # one dominant direction -> deliberately skewed cells
+    vecs = rng.normal(size=(300, 8)) + np.array([4.0] + [0.0] * 7)
+    ids = np.arange(len(vecs), dtype=np.int64)
+    df = pd.DataFrame({"vec_id": ids, "embedding": list(vecs.astype(np.float32))})
+    ds = rd.from_pandas(df)
+    m = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    s = m @ m.T
+    thr = 0.98
+    out = ann.embedding_cosine_dup_pairs(
+        ds, threshold=thr, n_cells=4, sub_rows=16
+    )
+    iu = np.triu_indices(len(ids), k=1)
+    mask = s[iu] >= thr
+    expect = sorted(zip(iu[0][mask], iu[1][mask]))
+    got = sorted(zip(out["vec_a"], out["vec_b"]))
+    assert got == expect and len(expect) > 0
+
+
+def test_centroid_sample_is_bounded(ray_session):
+    """_seeded_sample materializes at most ~cap rows on the driver no
+    matter how large the input dataset is."""
+    import ray.data as rd
+
+    n = 60_000
+    df = pd.DataFrame(
+        {
+            "vec_id": np.arange(n, dtype=np.int64),
+            "embedding": list(np.random.default_rng(3).normal(size=(n, 4)).astype(np.float32)),
+        }
+    )
+    ds = rd.from_pandas(df).repartition(8)
+    rows = ann._seeded_sample(ds, cap=1000)
+    assert len(rows) <= 1000
+    assert rows == sorted(rows, key=lambda r: r["vec_id"])
+    # deterministic across calls
+    rows2 = ann._seeded_sample(ds, cap=1000)
+    assert [r["vec_id"] for r in rows] == [r["vec_id"] for r in rows2]
+    # small inputs come back whole
+    small = rd.from_pandas(df.head(50))
+    assert len(ann._seeded_sample(small, cap=1000)) == 50
+
+
 # ---------------------------------------------------------------------------
 # vectorized text kernels ≡ scalar definitions
 # ---------------------------------------------------------------------------

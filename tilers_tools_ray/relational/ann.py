@@ -96,6 +96,25 @@ def brute_topk(emb_ds, query_ids, query_vecs, k=10, concurrency=(1, 8)):
 # ---------------------------------------------------------------------------
 
 
+def _seeded_sample(emb_ds, cap, seed=11):
+    """Fixed-size seeded sample for centroid training.
+
+    Bounds driver materialization to ~``cap`` rows regardless of corpus
+    size (k-means-lite needs 10^3-10^4 points whether the table has 1e5
+    or 1e12 rows): a metadata-only count() picks the sampling fraction,
+    the sampled stream is limit()ed to cap, and rows are sorted by
+    vec_id so centroid init is run-deterministic (take_all block order
+    is execution-order-dependent in Ray 2.49)."""
+    n = emb_ds.count()
+    if n <= cap:
+        rows = emb_ds.take_all()
+    else:
+        # 1.25x slack so limit() is the binding cap, not sample variance
+        frac = min(1.0, (cap * 1.25) / n)
+        rows = emb_ds.random_sample(frac, seed=seed).limit(cap).take_all()
+    return sorted(rows, key=lambda r: r["vec_id"])
+
+
 def train_centroids(sample_vecs, n_cells=16, iters=5, seed=11):
     """k-means-lite on a driver-side sample (deterministic seed)."""
     x = _normalize(sample_vecs)
@@ -158,20 +177,16 @@ def ivf_topk(
     k=10,
     n_cells=16,
     nprobe=3,
-    sample_fraction=0.5,
+    sample_cap=8192,
     concurrency=(1, 8),
 ):
     """Approximate cosine top-k via IVF cells. Trains the coarse
-    quantizer on a seeded sample, broadcasts centroids + queries."""
+    quantizer on a bounded seeded sample (``sample_cap`` rows max on
+    the driver, corpus-size-independent), broadcasts centroids +
+    queries."""
     import ray
 
-    # sort the sample by id: take_all() block order is execution-order-
-    # dependent, and k-means-lite init indexes into the sample — the
-    # sort makes centroids (hence results) run-deterministic
-    sample = sorted(
-        emb_ds.random_sample(sample_fraction, seed=11).take_all(),
-        key=lambda r: r["vec_id"],
-    )
+    sample = _seeded_sample(emb_ds, sample_cap)
     cent = train_centroids(
         np.stack([r["embedding"] for r in sample]), n_cells=n_cells
     )
@@ -196,18 +211,20 @@ def embedding_cosine_dup_pairs(
     emb_ds,
     threshold=0.98,
     n_cells=16,
-    sample_fraction=0.5,
+    sample_cap=8192,
+    sub_rows=8192,
     concurrency=(1, 8),
 ):
     """Embedding-cosine near-dup detection, IVF-cell-bucketed and EXACT.
 
     Candidate generation is bucketed by IVF cell with a triangle-
-    inequality pruning bound, then every surviving cell pair is scored
-    with an exact float64 block matmul — so the output matches the
-    all-pairs SQL oracle bit-for-bit while never collecting the table
-    on the driver:
+    inequality pruning bound, then every surviving sub-block pair is
+    scored with an exact float64 block matmul — so the output matches
+    the all-pairs SQL oracle bit-for-bit while never collecting the
+    table on the driver:
 
-      1. seeded-sample k-means-lite centroids (broadcast);
+      1. bounded seeded-sample k-means-lite centroids (≤``sample_cap``
+         rows on the driver, corpus-size-independent; broadcast);
       2. one streaming pass: per-batch cell assignment + per-cell
          partial (count, max distance-to-centroid) → tiny driver merge
          (one row per cell);
@@ -216,22 +233,23 @@ def embedding_cosine_dup_pairs(
          d(cᵢ,cⱼ) − rᵢ − rⱼ ≤ √(2−2t) (exact bound — no recall loss;
          prunes aggressively at real dup thresholds ≥0.9, degrades to
          distributed exact all-block-pairs for loose thresholds);
-      4. second pass: shuffle vectors by cell (groupby(cell) — ONE
-         wide exchange), pack each cell into a compact float64 block
-         row, replicate blocks to their surviving partner pairs
-         (flat_map), and score each pair group independently.
+      4. sub-blocking: the stats pass gives each cell's row count, so
+         the driver splits every cell into ⌈n/``sub_rows``⌉ fixed-size
+         sub-blocks and enumerates pair tasks at SUB-BLOCK granularity
+         (intra-cell: si ≤ sj; cross-cell: all si × sj). No single
+         Arrow row ever exceeds ``sub_rows`` vectors, so a hot cell at
+         10¹² scale becomes many bounded pair tasks instead of one
+         multi-GB row;
+      5. second pass: shuffle vectors by cell (groupby(cell) — ONE
+         wide exchange), pack each sorted sub-block into a compact
+         float64 row, replicate to its surviving partner pairs, and
+         score each pair group independently (same-sub-block pairs use
+         the upper triangle, cross pairs a full matmul).
 
-    At 10¹²-image scale each cell block would be further split into
-    fixed-size sub-blocks (same pair-group mechanics); cells here are
-    small enough to ship whole. Returns (vec_a, vec_b, score) with
-    vec_a < vec_b, sorted."""
-    import pyarrow as pa
+    Returns (vec_a, vec_b, score) with vec_a < vec_b, sorted."""
     import ray
 
-    sample = sorted(
-        emb_ds.random_sample(sample_fraction, seed=11).take_all(),
-        key=lambda r: r["vec_id"],
-    )  # order-deterministic centroid init (see ivf_topk)
+    sample = _seeded_sample(emb_ds, sample_cap)
     cent = train_centroids(
         np.stack([r["embedding"] for r in sample]), n_cells=n_cells
     )
@@ -269,6 +287,8 @@ def embedding_cosine_dup_pairs(
     )
     radius = np.zeros(k)
     radius[stats["cell"].to_numpy()] = stats["r_max"].to_numpy()
+    counts = np.zeros(k, dtype=np.int64)
+    counts[stats["cell"].to_numpy()] = stats["n"].to_numpy()
     live = set(stats["cell"].tolist())
     dmax = float(np.sqrt(max(0.0, 2.0 - 2.0 * threshold))) + 1e-9
     cdist = np.sqrt(
@@ -282,11 +302,21 @@ def embedding_cosine_dup_pairs(
         and j in live
         and cdist[i, j] - radius[i] - radius[j] <= dmax
     ]
-    partners = {}  # cell -> [(pair_id, role)]
-    for pid, (i, j) in enumerate(survivors):
-        partners.setdefault(i, []).append((pid, 0))
-        if j != i:
-            partners.setdefault(j, []).append((pid, 1))
+    # expand surviving cell pairs to sub-block pairs (step 4 above):
+    # the per-cell counts from the stats pass tell us how many
+    # sub-blocks each cell splits into, so pair tasks are enumerated
+    # driver-side with bounded per-task payloads.
+    n_sub = {c: max(1, -(-int(counts[c]) // sub_rows)) for c in live}
+    partners = {}  # (cell, sub_idx) -> [(pair_id, role)]
+    pid = 0
+    for i, j in survivors:
+        for si in range(n_sub[i]):
+            sj_start = si if j == i else 0
+            for sj in range(sj_start, n_sub[j]):
+                partners.setdefault((i, si), []).append((pid, 0))
+                if (j, sj) != (i, si):
+                    partners.setdefault((j, sj), []).append((pid, 1))
+                pid += 1
 
     class AssignCell:
         def __init__(self, centroids_ref):
@@ -311,15 +341,22 @@ def embedding_cosine_dup_pairs(
     )
 
     def pack_cell(g: pd.DataFrame) -> pd.DataFrame:
+        # split the sorted cell into fixed-size sub-blocks; each packed
+        # row holds at most sub_rows vectors (bounded regardless of
+        # cell skew) and is replicated to its surviving pair tasks.
         g = g.sort_values("vec_id")
         ids = g["vec_id"].to_numpy(dtype=np.int64)
-        mat = b"".join(g["vec"])
+        vec_list = g["vec"].tolist()
         cell = int(g["cell"].iloc[0])
         out = []
-        for pid, role in partners.get(cell, []):
-            out.append(
-                {"pair": pid, "role": role, "ids": ids.tobytes(), "mat": mat}
-            )
+        for si in range(max(1, -(-len(ids) // sub_rows))):
+            lo, hi = si * sub_rows, min((si + 1) * sub_rows, len(ids))
+            sub_ids = ids[lo:hi].tobytes()
+            sub_mat = b"".join(vec_list[lo:hi])
+            for pair_id, role in partners.get((cell, si), []):
+                out.append(
+                    {"pair": pair_id, "role": role, "ids": sub_ids, "mat": sub_mat}
+                )
         if not out:
             return pd.DataFrame(
                 {"pair": pd.array([], dtype="int64"),
