@@ -163,6 +163,33 @@ def test_embedding_dup_pairs_sub_blocked_exact(ray_session):
     assert got == expect and len(expect) > 0
 
 
+def test_ngram_jaccard_sub_blocked_exact(ray_session):
+    """Forcing tiny sub-blocks (every block splits) must not change the
+    exact pair set, and the CSR sweep must equal per-pair Jaccard."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(40)]
+    texts = [" ".join(rng.choice(vocab, size=12)) for _ in range(60)]
+    # plant dups
+    for i in range(5):
+        texts.append(texts[i])
+    ids = np.arange(len(texts), dtype=np.int64)
+    ds = rd.from_pandas(pd.DataFrame({"doc_id": ids, "text": texts}))
+    base = dedup.ngram_jaccard_pairs(ds, threshold=0.5, n_blocks=3, sub_rows=4096)
+    split = dedup.ngram_jaccard_pairs(ds, threshold=0.5, n_blocks=3, sub_rows=7)
+    assert len(base) > 0
+    pd.testing.assert_frame_equal(base, split)
+
+
+def test_adaptive_coarse_scales():
+    assert dedup._adaptive_coarse(1_000) == 64  # floor
+    assert dedup._adaptive_coarse(10_000_000) == 100
+    assert dedup._adaptive_coarse(10**12) == 65_536  # cap
+    a, b = dedup._adaptive_coarse(50_000_000), dedup._adaptive_coarse(500_000_000)
+    assert b == 10 * a  # scales linearly in between
+
+
 def test_centroid_sample_is_bounded(ray_session):
     """_seeded_sample materializes at most ~cap rows on the driver no
     matter how large the input dataset is."""

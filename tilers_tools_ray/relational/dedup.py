@@ -33,6 +33,15 @@ from . import text as T
 _MASK63 = 0x7FFFFFFFFFFFFFFF
 
 
+def _adaptive_coarse(n_rows, per_group_target=100_000, lo=64, hi=65_536):
+    """Coarse-shuffle bucket count derived from the exploded row count:
+    one group ≈ one task's memory, so the count scales with data volume
+    instead of being a constant that overflows a worker at 10⁹ rows.
+    ``lo`` keeps small inputs parallel; ``hi`` caps grouped-apply
+    overhead (~1 ms/group of Python dispatch)."""
+    return int(min(hi, max(lo, -(-int(n_rows) // per_group_target))))
+
+
 # ---------------------------------------------------------------------------
 # exact dedup (D3): partial min per batch → grouped Min
 # ---------------------------------------------------------------------------
@@ -188,7 +197,7 @@ def minhash_lsh_pairs(
     shingle_k=3,
     jaccard_threshold=0.8,
     concurrency=(1, 8),
-    n_coarse=64,
+    n_coarse=None,
     join_partitions=8,
     broadcast_limit=100_000,
 ):
@@ -200,8 +209,13 @@ def minhash_lsh_pairs(
     (coarse pair-key groupby) → texts joined back BY doc_id (hash join;
     candidates are the small post-LSH set, texts are never broadcast or
     collected) → exact shingle-Jaccard verify in an actor pool.
-    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, sorted."""
+    ``n_coarse=None`` derives the shuffle-bucket count from the corpus
+    size (docs × bands exploded rows) so per-group memory stays bounded
+    at any scale. Returns (doc_a, doc_b, jaccard) with doc_a < doc_b,
+    sorted."""
     rows_per_band = n_hashes // bands
+    if n_coarse is None:
+        n_coarse = _adaptive_coarse(docs_ds.count() * bands)
     sigs = minhash_signatures(docs_ds, n_hashes, shingle_k, concurrency)
 
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
@@ -360,15 +374,19 @@ def minhash_lsh_pairs(
 # ---------------------------------------------------------------------------
 
 
-def simhash_pairs(docs_ds, *, max_hamming=3, concurrency=(1, 8), n_coarse=64):
+def simhash_pairs(docs_ds, *, max_hamming=3, concurrency=(1, 8), n_coarse=None):
     """Near-dup pairs via 64-bit SimHash with ``max_hamming + 1``
     bit-slice bands: any pair within hamming ≤ h differs in ≤ h bands,
     so by pigeonhole it collides in at least one of h+1 bands —
     complete recall at the configured distance (the earlier fixed 4×16
     banding silently missed hamming 4-6 pairs). Exact hamming verify
     runs inside the bucket reduce (vectorized popcount), so precision
-    is exact. Returns (doc_a, doc_b, hamming), doc_a < doc_b, sorted."""
+    is exact. ``n_coarse=None`` derives the shuffle-bucket count from
+    corpus size (see _adaptive_coarse). Returns (doc_a, doc_b,
+    hamming), doc_a < doc_b, sorted."""
     n_bands = int(max_hamming) + 1
+    if n_coarse is None:
+        n_coarse = _adaptive_coarse(docs_ds.count() * n_bands)
     edges = np.linspace(0, 64, n_bands + 1).astype(np.int64)
     widths = np.diff(edges)
     sigs = docs_ds.map_batches(
@@ -440,17 +458,97 @@ def simhash_pairs(docs_ds, *, max_hamming=3, concurrency=(1, 8), n_coarse=64):
     return df.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
+def _block_of(ids, n_blocks):
+    """Deterministic hashed block assignment — uniform even when the
+    raw ids are clustered (all-even, sequential ranges, ...)."""
+    return ((ids * 1_000_003) & _MASK63) % n_blocks
+
+
+def _csr_intersections(ids_a, offs_a, vals_a, ids_b, offs_b, vals_b):
+    """All-pairs intersection sizes between two CSR-packed families of
+    sorted-unique int64 sets, in ONE sorted-merge sweep (no per-pair
+    Python calls): searchsorted matches every A element against the
+    value-sorted B stream, combinatorial index expansion recovers the
+    (A-doc, B-doc) owner of each value match, and a dense bincount
+    accumulates counts. Memory is len(A)×len(B) int64 — bounded by the
+    caller's sub-block cap."""
+    na, nb = len(ids_a), len(ids_b)
+    # doc index of every value (CSR row expansion)
+    doc_a = np.repeat(np.arange(na, dtype=np.int64), np.diff(offs_a))
+    doc_b = np.repeat(np.arange(nb, dtype=np.int64), np.diff(offs_b))
+    order = np.argsort(vals_b, kind="stable")
+    vb = vals_b[order]
+    db = doc_b[order]
+    left = np.searchsorted(vb, vals_a, "left")
+    right = np.searchsorted(vb, vals_a, "right")
+    reps = right - left
+    total = int(reps.sum())
+    if total == 0:
+        return np.zeros((na, nb), dtype=np.int64)
+    a_idx = np.repeat(np.arange(len(vals_a)), reps)
+    csum = np.concatenate([[0], np.cumsum(reps)[:-1]])
+    b_pos = np.arange(total) - csum[a_idx] + left[a_idx]
+    keys = doc_a[a_idx] * nb + db[b_pos]
+    return np.bincount(keys, minlength=na * nb).reshape(na, nb)
+
+
 def ngram_jaccard_pairs(
-    docs_ds, *, threshold=0.6, shingle_k=3, n_blocks=8, concurrency=(1, 8)
+    docs_ds,
+    *,
+    threshold=0.6,
+    shingle_k=3,
+    n_blocks=8,
+    sub_rows=2048,
+    concurrency=(1, 8),
 ):
     """EXACT all-pairs n-gram Jaccard ≥ threshold — the LSH path's
     audit/ground-truth counterpart, distributed as block-pair groups:
-    shingle-set hashes per doc (actor pool) → docs hashed into
-    ``n_blocks`` blocks → every block pair (i ≤ j) scored in its own
-    reduce (sorted-array intersections). O(n²/B²) docs per group and
-    sets ship as packed int64 — no driver collection. Returns
+
+      1. a column-pruned id pass gives exact per-block doc counts, so
+         the driver enumerates pair tasks at SUB-BLOCK granularity
+         (≤ ``sub_rows`` docs per packed row — bounded regardless of
+         block skew);
+      2. shingle-set hashes per doc (actor pool), hashed into
+         ``n_blocks`` blocks;
+      3. every sub-block pair (si ≤ sj within/across blocks) scored in
+         its own reduce by ONE vectorized sorted-merge intersection
+         sweep (_csr_intersections — no per-pair np.intersect1d).
+
+    O(n²) total work is inherent to the exact audit role; what is
+    bounded is per-task memory and per-row size. Returns
     (doc_a, doc_b, jaccard), doc_a < doc_b, sorted."""
     import pyarrow as pa
+
+    # --- pass 0: exact per-block counts from the id column only ----------
+    def count_partial(b: pd.DataFrame) -> pa.Table:
+        blk = _block_of(b["doc_id"].to_numpy(dtype=np.int64), n_blocks)
+        c = np.bincount(blk, minlength=n_blocks)
+        return pa.table({"block": np.arange(n_blocks, dtype=np.int64), "n": c})
+
+    counts_df = (
+        docs_ds.select_columns(["doc_id"])
+        .map_batches(count_partial, batch_format="pandas")
+        .to_pandas()  # tiny: n_batches × n_blocks rows
+        .groupby("block", as_index=False)["n"]
+        .sum()
+    )
+    counts = np.zeros(n_blocks, dtype=np.int64)
+    counts[counts_df["block"].to_numpy()] = counts_df["n"].to_numpy()
+    n_sub = {b: max(1, -(-int(counts[b]) // sub_rows)) for b in range(n_blocks)}
+
+    # sub-block pair tasks: (block, sub) × (block', sub') with the
+    # lexicographic (b, s) ≤ (b', s') half — each unordered doc pair is
+    # scored exactly once.
+    partners = {}  # (block, sub) -> [(pair_id, role)]
+    pid = 0
+    for i in range(n_blocks):
+        for si in range(n_sub[i]):
+            for j in range(i, n_blocks):
+                for sj in range(si if j == i else 0, n_sub[j]):
+                    partners.setdefault((i, si), []).append((pid, 0))
+                    if (j, sj) != (i, si):
+                        partners.setdefault((j, sj), []).append((pid, 1))
+                    pid += 1
 
     class ShingleSets:
         def __init__(self, k):
@@ -471,7 +569,7 @@ def ngram_jaccard_pairs(
             return pa.table(
                 {
                     "doc_id": ids,
-                    "block": (ids % n_blocks).astype(np.int64),
+                    "block": _block_of(ids, n_blocks),
                     "sh": pa.array(packs, pa.binary()),
                 }
             )
@@ -484,25 +582,25 @@ def ngram_jaccard_pairs(
         concurrency=concurrency,
     )
 
-    pairs = [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)]
-    partners = {}
-    for pid, (i, j) in enumerate(pairs):
-        partners.setdefault(i, []).append((pid, 0))
-        if j != i:
-            partners.setdefault(j, []).append((pid, 1))
-
     def pack_block(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("doc_id")
         ids = g["doc_id"].to_numpy(dtype=np.int64)
-        offs = np.zeros(len(g) + 1, dtype=np.int64)
-        offs[1:] = np.cumsum([len(s) // 8 for s in g["sh"]])
-        vals = b"".join(g["sh"])
+        lens = np.fromiter((len(s) // 8 for s in g["sh"]), dtype=np.int64,
+                           count=len(g))
         block = int(g["block"].iloc[0])
-        rows = [
-            {"pair": pid, "role": role, "ids": ids.tobytes(),
-             "offs": offs.tobytes(), "vals": vals}
-            for pid, role in partners.get(block, [])
-        ]
+        sh_list = g["sh"].tolist()
+        rows = []
+        for si in range(max(1, -(-len(ids) // sub_rows))):
+            lo, hi = si * sub_rows, min((si + 1) * sub_rows, len(ids))
+            offs = np.zeros(hi - lo + 1, dtype=np.int64)
+            offs[1:] = np.cumsum(lens[lo:hi])
+            vals = b"".join(sh_list[lo:hi])
+            sub_ids = ids[lo:hi].tobytes()
+            for pair_id, role in partners.get((block, si), []):
+                rows.append(
+                    {"pair": pair_id, "role": role, "ids": sub_ids,
+                     "offs": offs.tobytes(), "vals": vals}
+                )
         if not rows:
             return pd.DataFrame(
                 {"pair": pd.array([], dtype="int64"),
@@ -531,44 +629,24 @@ def ngram_jaccard_pairs(
             offs = np.frombuffer(row["offs"], dtype=np.int64)
             vals = np.frombuffer(row["vals"], dtype=np.int64)
             blocks[int(row["role"])] = (ids, offs, vals)
-
-        def sets_of(b):
-            ids, offs, vals = b
-            return ids, [vals[offs[i] : offs[i + 1]] for i in range(len(ids))]
-
-        out_a, out_b, out_j = [], [], []
-
-        def jac(sa, sb):
-            inter = len(np.intersect1d(sa, sb, assume_unique=True))
-            union = len(sa) + len(sb) - inter
-            return inter / max(union, 1)
-
-        if len(blocks) == 1:  # intra-block pair
-            ids, sets = sets_of(blocks[0])
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    v = jac(sets[i], sets[j])
-                    if v >= threshold:
-                        out_a.append(ids[i])
-                        out_b.append(ids[j])
-                        out_j.append(v)
-        else:
-            ids_a, sets_a = sets_of(blocks[0])
-            ids_b, sets_b = sets_of(blocks[1])
-            for i in range(len(ids_a)):
-                for j in range(len(ids_b)):
-                    v = jac(sets_a[i], sets_b[j])
-                    if v >= threshold:
-                        lo, hi = sorted((int(ids_a[i]), int(ids_b[j])))
-                        out_a.append(lo)
-                        out_b.append(hi)
-                        out_j.append(v)
-        if not out_a:
+        intra = len(blocks) == 1
+        ids_a, offs_a, vals_a = blocks[0]
+        ids_b, offs_b, vals_b = blocks[0] if intra else blocks[1]
+        inter = _csr_intersections(ids_a, offs_a, vals_a, ids_b, offs_b, vals_b)
+        sz_a = np.diff(offs_a)
+        sz_b = np.diff(offs_b)
+        union = sz_a[:, None] + sz_b[None, :] - inter
+        jac = inter / np.maximum(union, 1)
+        qual = jac >= threshold
+        if intra:  # each unordered pair once; ids are sorted, so i<j ⇒ a<b
+            qual &= np.triu(np.ones_like(qual, dtype=bool), k=1)
+        ai, bi = np.nonzero(qual)
+        if len(ai) == 0:
             return empty
+        a, b = ids_a[ai], ids_b[bi]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
         return pd.DataFrame(
-            {"doc_a": np.array(out_a, dtype=np.int64),
-             "doc_b": np.array(out_b, dtype=np.int64),
-             "jaccard": np.round(out_j, 6)}
+            {"doc_a": lo, "doc_b": hi, "jaccard": np.round(jac[ai, bi], 6)}
         )
 
     df = (
@@ -585,7 +663,7 @@ def ngram_jaccard_pairs(
     return df.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
-def clean_corpus(docs_ds, *, jaccard_threshold=0.8, n_coarse=64):
+def clean_corpus(docs_ds, *, jaccard_threshold=0.8, n_coarse=None):
     """End-to-end corpus dedup: exact-duplicate groups ∪ MinHash
     near-dup pairs → connected components → one canonical survivor
     (smallest doc_id) per cluster.
