@@ -86,7 +86,7 @@ def run_bench(sf_dir, num_cpus):
     sf_tag = os.path.basename(os.path.normpath(sf_dir))
     n = CORPUS_ROWS.get(sf_tag, 2000)
     paths = corpus.generate(
-        f"/tmp/ttr_bench_v3_{n}",  # v3: ozf container with alpha flag
+        f"/tmp/ttr_bench_v4_{n}",  # v4: OZF4 uint32 tile count
         scale="bench",
         n_rows=n,
         seed=1234,

@@ -127,7 +127,7 @@ def _chart_image(h=130, w=200, seed=4):
 def test_ozf_roundtrip_lossless_on_paletted():
     chart = _chart_image()
     data = codecs.encode_ozf(chart)
-    assert data[:4] == b"OZF3"
+    assert data[:4] == b"OZF4"
     assert np.array_equal(codecs.decode_ozf(data), chart)
 
 
@@ -149,7 +149,7 @@ def test_ozf_scrambled_container():
     # first tile begins right after header+meta; zlib magic 0x78 only
     # appears after unscrambling
     meta_len = 256 * 3 + 4 * (1 * 1 + 1)
-    first = data[16 + meta_len]
+    first = data[18 + meta_len]  # OZF4 header is 18 bytes (uint32 tile count)
     assert first != 0x78 and (first ^ key) == 0x78
 
 

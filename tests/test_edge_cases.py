@@ -87,3 +87,24 @@ def test_caption_unicode_and_empty_survive(ray_session, tmp_path):
     assert "" in captions or any("一" <= ch <= "鿿" for c in captions for ch in c)
     tiles = pyramid.base_tiles(paths["images"]).to_pandas()
     assert set(tiles["caption"]) <= captions
+
+
+def test_resume_without_job_meta_refuses(tmp_path):
+    """A pre-guard output dir (committed levels, no job.json) must not
+    silently adopt the caller's grid parameters on resume."""
+    import os
+
+    from tilers_tools_ray.state import lineage
+
+    out = str(tmp_path / "legacy_out")
+    os.makedirs(lineage.lineage_dir(out, 5), exist_ok=True)
+    with open(
+        os.path.join(lineage.lineage_dir(out, 5), "part_0000.json"), "w"
+    ) as f:
+        f.write("{}")
+    with pytest.raises(ValueError, match="job.json"):
+        lineage.check_job_meta(out, {"profile": "mercator"})
+    # a genuinely fresh dir records the caller's params as ground truth
+    fresh = str(tmp_path / "fresh_out")
+    meta = lineage.check_job_meta(fresh, {"profile": "mercator"})
+    assert meta == {"profile": "mercator"}

@@ -102,6 +102,10 @@ def test_write_pyramid_and_resume(ray_session, tiny_corpus, golden_pyramid, tmp_
         assert summary[z]["tiles"] == len(df)
     # --- resume: pre-commit a strict subset of base parts, then run ---
     out_b = str(tmp_path / "run_b")
+    # a real resume dir carries the original run's job.json; without it
+    # check_job_meta refuses (committed levels + unknown grid params)
+    os.makedirs(os.path.dirname(lineage.job_meta_path(out_b)), exist_ok=True)
+    shutil.copy(lineage.job_meta_path(out_a), lineage.job_meta_path(out_b))
     done = sorted(lineage.done_parts(out_a, z_base))
     subset = done[: max(1, len(done) // 2)]
     for part in subset:

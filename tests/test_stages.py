@@ -310,7 +310,7 @@ def test_unknown_srs_raises():
 
 def test_export_tree_ozf_roundtrip(ray_session, base_tiles_df, tmp_path):
     """Tree export/import with the OZF container format: fmt column
-    sniffs OZF3 and tiles decode back (palette-lossy vs the RGBA tile,
+    sniffs OZF4 and tiles decode back (palette-lossy vs the RGBA tile,
     alpha preserved as opaque)."""
     from tilers_tools_ray import codecs
 

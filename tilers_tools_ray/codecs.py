@@ -59,7 +59,8 @@ def encode_raw(rgba):
 
 
 def decode_raw(data):
-    assert data[:4] == _RAW_MAGIC, "not a RAW1 payload"
+    if data[:4] != _RAW_MAGIC:
+        raise ValueError("not a RAW1 payload")
     w, h, c = struct.unpack("<IIB", data[4:13])
     px = np.frombuffer(data, dtype=np.uint8, offset=13).reshape(h, w, c)
     return _ensure_rgba(px)
@@ -109,7 +110,8 @@ def encode_png(rgba, level=6):
 def decode_png(data):
     """Minimal PNG decoder: 8-bit RGB/RGBA/paletted (colortype 2/6/3
     with PLTE + optional tRNS), filters 0–4. Returns RGBA."""
-    assert data[:8] == _PNG_MAGIC, "not a PNG payload"
+    if data[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload")
     pos = 8
     w = h = colortype = None
     idat = []
@@ -225,7 +227,8 @@ def encode_dct(rgba, q=6, level=6):
 
 
 def decode_dct(data):
-    assert data[:4] == _DCT_MAGIC, "not a DCT1 payload"
+    if data[:4] != _DCT_MAGIC:
+        raise ValueError("not a DCT1 payload")
     w, h, q = struct.unpack("<IIB", data[4:13])
     ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
     qc = np.frombuffer(zlib.decompress(data[13:]), dtype=np.int16).reshape(
@@ -364,7 +367,7 @@ def encode_png8(rgba, level=6):
 # and tile streams)
 # ---------------------------------------------------------------------------
 
-_OZF_MAGIC = b"OZF3"
+_OZF_MAGIC = b"OZF4"  # v4: uint32 tile count (v3's uint16 capped at ~16384² px)
 _OZF_TILE = 64
 
 
@@ -410,23 +413,25 @@ def encode_ozf(rgba, level=6):
         pal_full.tobytes() + offsets.tobytes(), dtype=np.uint8
     ) ^ np.uint8(key)
     header = _OZF_MAGIC + struct.pack(
-        "<IIBBH", w, h, key, 1 if has_alpha else 0, len(tiles)
+        "<IIBBI", w, h, key, 1 if has_alpha else 0, len(tiles)
     )
     return header + scrambled.tobytes() + b"".join(t.tobytes() for t in tiles)
 
 
 def decode_ozf(data):
-    assert data[:4] == _OZF_MAGIC, "not an OZF3 payload"
-    w, h, key, flags, ntiles = struct.unpack("<IIBBH", data[4:16])
+    if data[:4] != _OZF_MAGIC:
+        raise ValueError("not an OZF4 payload")
+    w, h, key, flags, ntiles = struct.unpack("<IIBBI", data[4:18])
     T = _OZF_TILE
     ntx = (w + T - 1) // T
     nty = (h + T - 1) // T
-    assert ntx * nty == ntiles, "corrupt OZF3 tile count"
+    if ntx * nty != ntiles:
+        raise ValueError("corrupt OZF4 tile count")
     meta_len = 256 * 3 + (ntiles + 1) * 4
-    meta = np.frombuffer(data, np.uint8, count=meta_len, offset=16) ^ np.uint8(key)
+    meta = np.frombuffer(data, np.uint8, count=meta_len, offset=18) ^ np.uint8(key)
     pal = meta[: 256 * 3].reshape(256, 3)
     offsets = meta[256 * 3 :].view(np.uint32)
-    base = 16 + meta_len
+    base = 18 + meta_len
     idx = np.zeros((nty * T, ntx * T), dtype=np.uint8)
     for t in range(ntiles):
         raw = np.frombuffer(

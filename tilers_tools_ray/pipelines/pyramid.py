@@ -168,6 +168,10 @@ def fragments_dataset(
     import ray
 
     ds = images_dataset(images_path)
+    try:
+        _ncpu_total = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        _ncpu_total = 8
     if concurrency is None:
         # fixed-size actor pool at 7/8 of cluster CPUs — PROPORTIONAL
         # headroom for the read/reduce stages (a fixed "-2" skews
@@ -175,33 +179,51 @@ def fragments_dataset(
         # on a real N-node cluster per-node overheads replicate, so the
         # proportion is the faithful model). Fixed beats autoscaling:
         # pool ramp-up from min_size=1 dominates short stages.
-        try:
-            ncpu = int(ray.cluster_resources().get("CPU", 8))
-        except Exception:
-            ncpu = 8
+        ncpu = _ncpu_total
         # never claim EVERY cpu: at tiny clusters (2-4) a full-width
         # fixed pool starves the groupby reduce tasks behind it and the
         # executor deadlocks (observed at num_cpus=2: 2 actors held both
         # CPUs while the sort waited forever)
         concurrency = max(1, min(ncpu - 1, ncpu * 7 // 8))
-    kwargs = {"concurrency": concurrency}
     salt_ref = ray.put(salt_plan) if salt_plan else None
     done_ref = ray.put(done_parts) if done_parts else None
+    ctor_kwargs = {
+        "z_base": z_base,
+        "z_part": z_part,
+        "resampling": resampling,
+        "salt_plan": salt_ref,
+        "n_zorder": n_zorder,
+        "done_parts": done_ref,
+        "profile": profile,
+    }
+    if _ncpu_total <= 1:
+        # 1-CPU cluster: a 1-actor pool would hold the ONLY cpu ahead
+        # of the groupby reduce — the num_cpus=2 deadlock shape, one
+        # worse. Run the emitter as stateless tasks instead: tasks
+        # release the cpu between blocks so the reduce can schedule.
+        # The per-task cache keeps construction once per block, not
+        # once per batch.
+        _state = {}
+
+        def _emit_stateless(batch):
+            em = _state.get("em")
+            if em is None:
+                em = _state["em"] = tiling.FragmentEmitter(**ctor_kwargs)
+            return em(batch)
+
+        return ds.map_batches(
+            _emit_stateless,
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            num_cpus=1,
+        )
     return ds.map_batches(
         tiling.FragmentEmitter,
-        fn_constructor_kwargs={
-            "z_base": z_base,
-            "z_part": z_part,
-            "resampling": resampling,
-            "salt_plan": salt_ref,
-            "n_zorder": n_zorder,
-            "done_parts": done_ref,
-            "profile": profile,
-        },
+        fn_constructor_kwargs=ctor_kwargs,
         batch_format="pyarrow",
         batch_size=batch_size,
         num_cpus=1,
-        **kwargs,
+        concurrency=concurrency,
     )
 
 

@@ -269,7 +269,7 @@ def read_tile_tree(root, layout="xyz"):
                 else "dct"
                 if b[:4] == b"DCT1"
                 else "ozf"
-                if b[:4] == b"OZF3"
+                if b[:4] == b"OZF4"
                 else "png"
             )
         return pa.table(

@@ -54,7 +54,10 @@ def exact_dedup(docs_ds, id_col="doc_id", text_col="text"):
 
     Shape: the per-batch partial min shrinks each batch to one row per
     distinct hash BEFORE the shuffle; the grouped ``Min`` aggregate is
-    Ray's vectorized built-in (no per-group Python lambda)."""
+    Ray's vectorized built-in (no per-group Python lambda). The group
+    key is the FULL 128-bit md5 (see text._md5_hex) so hash collisions
+    — which would silently drop a distinct document — are out of reach
+    at the 10¹²-doc target scale."""
     from ray.data.aggregate import Min
 
     import pyarrow as pa
@@ -63,7 +66,7 @@ def exact_dedup(docs_ds, id_col="doc_id", text_col="text"):
         df = pd.DataFrame(
             {
                 id_col: batch[id_col],
-                "text_hash": batch[text_col].fillna("").map(T._md5_64),
+                "text_hash": batch[text_col].fillna("").map(T._md5_hex),
             }
         )
         g = df.groupby("text_hash", as_index=False)[id_col].min()
@@ -686,8 +689,8 @@ def clean_corpus(docs_ds, *, jaccard_threshold=0.8, n_coarse=None):
                 "doc_id": batch["doc_id"].to_numpy(dtype=np.int64),
                 "text_hash": batch["text"]
                 .fillna("")
-                .map(T._md5_64)
-                .to_numpy(dtype=np.int64),
+                .map(T._md5_hex)
+                .to_numpy(dtype=object),
             }
         )
 

@@ -902,7 +902,7 @@ def _corpus_for(sf_dir):
 
     tag = os.path.basename(os.path.normpath(sf_dir))
     n = {"sf0.001": 150, "sf0.01": 400, "sf0.1": 1000}.get(tag, 150)
-    out = f"/tmp/ttr_corpus_v3_n{n}"  # v3: ozf container with alpha flag
+    out = f"/tmp/ttr_corpus_v4_n{n}"  # v4: OZF4 uint32 tile count
     return corpus.generate(out, scale="tiny", n_rows=n, seed=1234)
 
 

@@ -142,14 +142,14 @@ def _md5_64(s: str) -> int:
     return int.from_bytes(d[:8], "little", signed=True)
 
 
-def content_hash(batch: pd.DataFrame) -> pd.DataFrame:
-    """Exact-dup key: 64-bit md5 of the raw text (D3 for documents)."""
-    return pd.DataFrame(
-        {
-            "doc_id": batch["doc_id"],
-            "text_hash": batch["text"].fillna("").map(_md5_64).astype("int64"),
-        }
-    )
+def _md5_hex(s: str) -> str:
+    """Full 128-bit md5 (hex) — the exact-dedup GROUP KEY. At the
+    10¹²-doc scale the dedup module targets, a 64-bit key collides
+    with probability ~1 (birthday bound ~5·10⁹ docs) and would
+    silently merge two distinct documents; 128 bits puts collisions
+    out of reach (~10⁻¹³ at 10¹² docs). 64-bit stays in use where a
+    collision only costs a verify miss (shingles, band keys)."""
+    return hashlib.md5(s.encode("utf-8")).hexdigest()
 
 
 _FP_P = np.uint64((1 << 61) - 1)  # Mersenne prime 2^61 - 1

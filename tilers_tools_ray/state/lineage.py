@@ -121,6 +121,22 @@ def check_job_meta(out_dir, meta):
                 "the pyramid)"
             )
         return stored
+    # no job.json, but committed work exists (pre-guard output dir or a
+    # partially-deleted lineage tree): recording the CALLER's params as
+    # ground truth would be exactly the silent grid-mixing this guard
+    # prevents — refuse and make the user decide.
+    lin = os.path.join(out_dir, "lineage")
+    if os.path.isdir(lin) and any(
+        name.startswith("z") and os.listdir(os.path.join(lin, name))
+        for name in os.listdir(lin)
+        if os.path.isdir(os.path.join(lin, name))
+    ):
+        raise ValueError(
+            f"{out_dir} has committed lineage levels but no job.json — "
+            "cannot verify this resume uses the same grid parameters as "
+            "the original run. Use a fresh output dir, or restore/write "
+            f"{p} with the original parameters to resume."
+        )
     os.makedirs(os.path.dirname(p), exist_ok=True)
     with open(p + ".tmp", "w") as f:
         json.dump(meta, f)
