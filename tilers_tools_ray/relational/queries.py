@@ -332,19 +332,25 @@ GROUP BY p_brand ORDER BY p_brand
 """
 
 
-N_USER_BUCKETS = 64
-
-
 def _user_bucketed(ev):
     """Coarse-key events by hash(user) — each user lands wholly in one
-    of N_USER_BUCKETS groups, so per-user windowing runs as ONE
-    vectorized pandas kernel over MANY users per group instead of a
-    ~1 ms-overhead Ray group per user (pathological at 10⁹ users)."""
+    bucket-group, so per-user windowing runs as ONE vectorized pandas
+    kernel over MANY users per group instead of a ~1 ms-overhead Ray
+    group per user (pathological at 10⁹ users). The bucket count
+    scales with the event count (one group ≈ one task's memory — a
+    fixed 64 would make each group 1/64 of a 10⁹-user table); the
+    count() is a parquet-metadata fast path on a fresh read."""
+    from .dedup import _adaptive_coarse
+
+    try:
+        n_buckets = _adaptive_coarse(ev.count(), per_group_target=100_000)
+    except Exception:
+        n_buckets = 64
 
     def key(b: pd.DataFrame) -> pd.DataFrame:
         b = b.copy()
         b["__ub"] = (
-            pd.util.hash_array(b["user_id"].to_numpy()) % N_USER_BUCKETS
+            pd.util.hash_array(b["user_id"].to_numpy()) % n_buckets
         ).astype("int64")
         return b
 
