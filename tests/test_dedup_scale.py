@@ -338,6 +338,36 @@ def test_clean_corpus_planted_clusters(planted):
     assert (clusters.index == clusters.values).all()
     marked = set(out[out["is_canonical"] == 1]["doc_id"])
     assert set(out["canonical_id"]) <= marked
+    # distributed label propagation produces the IDENTICAL labeling
+    out_lp = dedup.clean_corpus(
+        rd.from_pandas(full), jaccard_threshold=0.8, cc_method="labelprop"
+    ).to_pandas()
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True), out_lp.reset_index(drop=True)
+    )
+
+
+def test_label_propagation_chain_and_components(ray_session):
+    """_cc_label_propagation on a worst-diameter graph: one 12-node
+    chain (needs several rounds to drain), one triangle, one isolated
+    edge — every node labels with its component minimum."""
+    import ray.data as rd
+
+    chain = [(i, i + 1) for i in range(100, 112)]
+    tri = [(7, 9), (9, 5), (5, 7)]
+    lone = [(300, 200)]
+    edges = pd.DataFrame(
+        {"a": [a for a, _ in chain + tri + lone],
+         "b": [b for _, b in chain + tri + lone]}
+    )
+    labels = dedup._cc_label_propagation(
+        rd.from_pandas(edges), num_partitions=2
+    ).to_pandas()
+    lut = dict(zip(labels["node"], labels["label"]))
+    assert all(lut[n] == 100 for n in range(100, 113))
+    assert lut[5] == lut[7] == lut[9] == 5
+    assert lut[200] == lut[300] == 200
+    assert len(lut) == 13 + 3 + 2
 
 
 def test_minhash_join_fallback_matches_broadcast(planted):

@@ -203,6 +203,7 @@ def minhash_lsh_pairs(
     n_coarse=None,
     join_partitions=8,
     broadcast_limit=100_000,
+    as_dataset=False,
 ):
     """Near-duplicate pairs via MinHash+LSH, end-to-end distributed.
 
@@ -366,6 +367,10 @@ def minhash_lsh_pairs(
         batch_format="pandas",
         batch_size=2048,
     )
+    if as_dataset:
+        # consumer keeps the pair list distributed (clean_corpus's
+        # label-propagation path) — unsorted; edge order is irrelevant
+        return verified
     df = verified.to_pandas()  # final result: the near-dup pair list
     if len(df) == 0:
         return empty
@@ -666,18 +671,118 @@ def ngram_jaccard_pairs(
     return df.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
-def clean_corpus(docs_ds, *, jaccard_threshold=0.8, n_coarse=None):
+def _cc_label_propagation(edges_ds, *, num_partitions=8, max_rounds=64):
+    """Distributed connected components over an edge Dataset (columns
+    ``a``, ``b`` int64): iterative min-label propagation. Each round
+    hash-joins the current labels onto both edge endpoints, emits
+    min(la, lb) to any endpoint it strictly improves, and folds the
+    offers into the labels with a grouped ``Min``. Labels are monotone
+    non-increasing, so "zero improving offers" is an exact fixpoint
+    witness; the driver holds only that per-round count. Rounds needed
+    = O(max cluster diameter) — duplicate clusters are dense, so
+    typically ≤5.
+
+    This is the 10¹²-doc path for clean_corpus: every structure is a
+    Dataset (edge⋈label joins + grouped Min); nothing driver-side is
+    proportional to nodes or edges. Returns a Dataset (node, label)
+    where label is the component's minimum doc id — only nodes that
+    appear in an edge are present (isolated docs label themselves via
+    the caller's left-outer join)."""
+    import pyarrow as pa
+    from ray.data.aggregate import Min
+
+    def to_nodes(b: pd.DataFrame) -> pa.Table:
+        ids = np.unique(
+            np.concatenate(
+                [b["a"].to_numpy(dtype=np.int64), b["b"].to_numpy(dtype=np.int64)]
+            )
+        )
+        return pa.table({"node": ids, "label": ids})
+
+    def _as_arrow(ds):
+        # normalize block type: unioning arrow and pandas blocks makes
+        # the sort-groupby's boundary sampler throw (mixed BlockType)
+        return ds.map_batches(lambda t: t, batch_format="pyarrow")
+
+    # materialize: the per-round joins re-consume both sides, and on
+    # Ray 2.49 an aggregate over a lazy chain holding another
+    # all-to-all thrashes (see exact_dedup)
+    edges_ds = _as_arrow(edges_ds).materialize()
+    labels = _as_arrow(
+        edges_ds.map_batches(to_nodes, batch_format="pandas")
+        .groupby("node")
+        .aggregate(Min("label", alias_name="label"))
+    ).materialize()
+    if labels.count() == 0:
+        return labels
+
+    def improving_offers(b: pd.DataFrame) -> pa.Table:
+        a = b["a"].to_numpy(dtype=np.int64)
+        bb = b["b"].to_numpy(dtype=np.int64)
+        la = b["label_a"].to_numpy(dtype=np.int64)
+        lb = b["label_b"].to_numpy(dtype=np.int64)
+        m = np.minimum(la, lb)
+        return pa.table(
+            {
+                "node": np.concatenate([a[m < la], bb[m < lb]]),
+                "label": np.concatenate([m[m < la], m[m < lb]]),
+            }
+        )
+
+    for _ in range(max_rounds):
+        ea = edges_ds.join(
+            labels, "inner", num_partitions, on=("a",), right_on=("node",)
+        )  # → a, b, label(=la)
+        eab = ea.join(
+            labels,
+            "inner",
+            num_partitions,
+            on=("b",),
+            right_on=("node",),
+            left_suffix="_a",
+            right_suffix="_b",
+        )  # → a, b, label_a, label_b (suffixes apply to the collision)
+        msg = eab.map_batches(
+            improving_offers, batch_format="pandas"
+        ).materialize()  # improving offers only: shrinks every round
+        if msg.count() == 0:
+            break
+        labels = _as_arrow(
+            labels.union(msg)
+            .groupby("node")
+            .aggregate(Min("label", alias_name="label"))
+        ).materialize()
+    return labels
+
+
+def clean_corpus(
+    docs_ds,
+    *,
+    jaccard_threshold=0.8,
+    n_coarse=None,
+    cc_method="auto",
+    cc_edge_limit=2_000_000,
+):
     """End-to-end corpus dedup: exact-duplicate groups ∪ MinHash
     near-dup pairs → connected components → one canonical survivor
     (smallest doc_id) per cluster.
 
     Shape: both edge families are produced by the distributed paths
-    above; the union-find runs driver-side over the EDGE list only
-    (proportional to the duplicate count, not the corpus — at 10¹²
-    docs swap in alternating-label-propagation rounds); the final
-    per-doc labeling maps the corpus once against the broadcast
-    parent table. Returns (doc_id, canonical_id, is_canonical) for
-    every document."""
+    above and unioned into one edge Dataset (|duplicate edges| rows,
+    ≪ corpus). Connected components then run one of two ways:
+
+    - ``cc_method="driver"``: union-find over the collected edge list
+      — driver memory proportional to the EDGE count, the fast path
+      for ordinary dup rates (≲ ``cc_edge_limit`` edges);
+    - ``cc_method="labelprop"``: fully distributed min-label
+      propagation (:func:`_cc_label_propagation`) — nothing on the
+      driver scales with edges or nodes; the 10¹²-doc path;
+    - ``cc_method="auto"`` (default): labelprop iff the edge count
+      exceeds ``cc_edge_limit``.
+
+    Both paths produce the identical labeling (component-minimum doc
+    id). Returns (doc_id, canonical_id, is_canonical) for every
+    document."""
     import pyarrow as pa
     import ray
     from ray.data.aggregate import Min
@@ -708,65 +813,114 @@ def clean_corpus(docs_ds, *, jaccard_threshold=0.8, n_coarse=None):
             )
         return b[b["doc_id"] != b["canon_id"]][["doc_id", "canon_id"]]
 
-    exact_edges = (
-        hashed.join(
-            canon, join_type="inner", num_partitions=8, on=("text_hash",)
-        )
-        .map_batches(dup_edges, batch_format="pandas")
-        .to_pandas()  # edges only: |exact duplicates| rows
-    )
+    exact_edges_ds = hashed.join(
+        canon, join_type="inner", num_partitions=8, on=("text_hash",)
+    ).map_batches(dup_edges, batch_format="pandas")
 
     # --- near-dup edges (bucketed LSH + exact verify) ----------------------
-    near = minhash_lsh_pairs(
-        docs_ds, jaccard_threshold=jaccard_threshold, n_coarse=n_coarse
+    near_ds = minhash_lsh_pairs(
+        docs_ds,
+        jaccard_threshold=jaccard_threshold,
+        n_coarse=n_coarse,
+        as_dataset=True,
     )
 
-    # --- connected components over the edge list (driver: small) ----------
-    parent = {}
-
-    def find(a):
-        while parent.get(a, a) != a:
-            parent[a] = parent.get(parent[a], parent[a])
-            a = parent[a]
-        return a
-
-    def union(a, b):
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            lo, hi = (ra, rb) if ra < rb else (rb, ra)
-            parent[hi] = lo
-
-    if "doc_id" in exact_edges.columns:  # empty edge set → no columns
-        for a, b in zip(exact_edges["doc_id"], exact_edges["canon_id"]):
-            union(int(a), int(b))
-    for a, b in zip(near["doc_a"], near["doc_b"]):
-        union(int(a), int(b))
-    label = {d: find(d) for d in list(parent)}
-    lref = ray.put(label)
-
-    class Label:
-        def __init__(self):
-            self.label = ray.get(lref)
-
-        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-            ids = b["doc_id"].to_numpy(dtype=np.int64)
-            canon = np.fromiter(
-                (self.label.get(int(d), int(d)) for d in ids),
-                dtype=np.int64,
-                count=len(ids),
-            )
+    def _exact_ab(b: pd.DataFrame) -> pd.DataFrame:
+        if "doc_id" not in b.columns:  # empty-schema sentinel block
             return pd.DataFrame(
-                {
-                    "doc_id": ids,
-                    "canonical_id": canon,
-                    "is_canonical": (ids == canon).astype("int64"),
-                }
+                {"a": pd.array([], dtype="int64"), "b": pd.array([], dtype="int64")}
             )
+        return pd.DataFrame(
+            {
+                "a": b["doc_id"].to_numpy(dtype=np.int64),
+                "b": b["canon_id"].to_numpy(dtype=np.int64),
+            }
+        )
 
-    out = docs_ds.select_columns(["doc_id"]).map_batches(
-        Label, batch_format="pandas", batch_size=8192, concurrency=2
+    def _near_ab(b: pd.DataFrame) -> pd.DataFrame:
+        if "doc_a" not in b.columns:
+            return pd.DataFrame(
+                {"a": pd.array([], dtype="int64"), "b": pd.array([], dtype="int64")}
+            )
+        return pd.DataFrame(
+            {
+                "a": b["doc_a"].to_numpy(dtype=np.int64),
+                "b": b["doc_b"].to_numpy(dtype=np.int64),
+            }
+        )
+
+    edges_ds = (
+        exact_edges_ds.map_batches(_exact_ab, batch_format="pandas")
+        .union(near_ds.map_batches(_near_ab, batch_format="pandas"))
+        .materialize()  # |dup edges| rows — pinned so count + CC reuse it
     )
-    return out.sort("doc_id")
+    n_edges = edges_ds.count()
+
+    if cc_method == "driver" or (cc_method == "auto" and n_edges <= cc_edge_limit):
+        # --- driver union-find over the edge list (edges ≪ corpus) --------
+        edges = edges_ds.to_pandas()
+        parent = {}
+
+        def find(a):
+            while parent.get(a, a) != a:
+                parent[a] = parent.get(parent[a], parent[a])
+                a = parent[a]
+            return a
+
+        def union(a, b):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+
+        for a, b in zip(edges["a"], edges["b"]):
+            union(int(a), int(b))
+        label = {d: find(d) for d in list(parent)}
+        lref = ray.put(label)
+
+        class Label:
+            def __init__(self):
+                self.label = ray.get(lref)
+
+            def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+                ids = b["doc_id"].to_numpy(dtype=np.int64)
+                canon = np.fromiter(
+                    (self.label.get(int(d), int(d)) for d in ids),
+                    dtype=np.int64,
+                    count=len(ids),
+                )
+                return pd.DataFrame(
+                    {
+                        "doc_id": ids,
+                        "canonical_id": canon,
+                        "is_canonical": (ids == canon).astype("int64"),
+                    }
+                )
+
+        out = docs_ds.select_columns(["doc_id"]).map_batches(
+            Label, batch_format="pandas", batch_size=8192, concurrency=2
+        )
+        return out.sort("doc_id")
+
+    # --- distributed label propagation (nothing driver-proportional) ------
+    labels = _cc_label_propagation(edges_ds)
+    joined = docs_ds.select_columns(["doc_id"]).join(
+        labels, "left_outer", 8, on=("doc_id",), right_on=("node",)
+    )  # → doc_id, label (null for docs with no dup edge)
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy(dtype=np.int64)
+        lab = b["label"].to_numpy()
+        canon = np.where(pd.isna(lab), ids, lab).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": ids,
+                "canonical_id": canon,
+                "is_canonical": (ids == canon).astype("int64"),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pandas").sort("doc_id")
 
 
 def ngram_jaccard_matrix(texts, k=3):
