@@ -63,6 +63,84 @@ def invert_gt(gt):
 
 
 # ---------------------------------------------------------------------------
+# order-2 polynomial GCP transform (M3 extension)
+#
+# The reference handles ≥3 GCPs with GDAL's polynomial warps
+# (``gdal_translate -gcp`` + ``-order N`` in reader_backend.py's
+# MapTranslator path [R]); scanned paper charts need order 2. The
+# engine fits BOTH directions (pixel→world for footprints, world→pixel
+# for the warp) directly from the GCPs by normalized least squares —
+# no iterative inversion. Record layout (flat float64[32], stored as a
+# nullable list column next to the affine ``gt``):
+#
+#   [0:4]   pixel normalization  (pcx, pcy, psx, psy)
+#   [4:16]  forward coeffs ax[6], ay[6] over basis (1, u, v, u², uv, v²)
+#           with u = (px−pcx)/psx, v = (py−pcy)/psy → (wx, wy)
+#   [16:20] world normalization  (wcx, wcy, wsx, wsy)
+#   [20:32] inverse coeffs bx[6], by[6] (same basis over normalized
+#           world) → (px, py)
+#
+# Normalizing to ±O(1) before squaring keeps the normal equations
+# conditioned even for mercator-meter world coords (~1e7 raw, ~1e14
+# squared — unusable unnormalized in float64 lstsq).
+# ---------------------------------------------------------------------------
+
+POLY2_LEN = 32
+
+
+def _poly2_basis(u, v):
+    return np.stack(
+        [np.ones_like(u), u, v, u * u, u * v, v * v], axis=-1
+    )
+
+
+def _fit_poly2_dir(sx, sy, tx, ty):
+    """One direction: (sx, sy) → (tx, ty). Returns (norm[4], coef[12])."""
+    cx, cy = float(sx.mean()), float(sy.mean())
+    scx = float(np.abs(sx - cx).max()) or 1.0
+    scy = float(np.abs(sy - cy).max()) or 1.0
+    a = _poly2_basis((sx - cx) / scx, (sy - cy) / scy)
+    ctx, *_ = np.linalg.lstsq(a, tx, rcond=None)
+    cty, *_ = np.linalg.lstsq(a, ty, rcond=None)
+    return np.array([cx, cy, scx, scy]), np.concatenate([ctx, cty])
+
+
+def solve_poly2(px, py, wx, wy):
+    """Least-squares order-2 polynomial fit from ≥6 GCPs, both
+    directions. Returns the flat float64[POLY2_LEN] record above.
+    Raises ValueError below 6 GCPs (the quadratic is underdetermined —
+    callers fall back to solve_affine)."""
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    wx = np.asarray(wx, dtype=np.float64)
+    wy = np.asarray(wy, dtype=np.float64)
+    if len(px) < 6:
+        raise ValueError("need ≥6 GCPs for an order-2 polynomial solve")
+    fn, fc = _fit_poly2_dir(px, py, wx, wy)
+    inorm, ic = _fit_poly2_dir(wx, wy, px, py)
+    return np.concatenate([fn, fc, inorm, ic])
+
+
+def _apply_poly2(norm, coef, x, y):
+    u = (np.asarray(x, dtype=np.float64) - norm[0]) / norm[2]
+    v = (np.asarray(y, dtype=np.float64) - norm[1]) / norm[3]
+    b = _poly2_basis(u, v)
+    return b @ coef[:6], b @ coef[6:]
+
+
+def apply_poly2_fwd(p, px, py):
+    """pixel → world through a solve_poly2 record."""
+    p = np.asarray(p, dtype=np.float64)
+    return _apply_poly2(p[0:4], p[4:16], px, py)
+
+
+def apply_poly2_inv(p, wx, wy):
+    """world → pixel through a solve_poly2 record."""
+    p = np.asarray(p, dtype=np.float64)
+    return _apply_poly2(p[16:20], p[20:32], wx, wy)
+
+
+# ---------------------------------------------------------------------------
 # polygons (M7 / J2)
 # ---------------------------------------------------------------------------
 

@@ -38,7 +38,11 @@ def auto_zoom(images_table):
     res = []
     for g, s in zip(gts, srs):
         r = abs(g[1])
-        if s == "EPSG:4326":
+        tm = raster._tmerc_of(s)
+        if tm is not None:  # UTM ground meters → merc meters (1/cosφ)
+            _, lat0 = tm.inverse(g[0], g[3])
+            r = r / max(np.cos(np.radians(float(lat0))), 1e-6)
+        elif s == "EPSG:4326":
             r = r * tg.ORIGIN / 180.0
         res.append(r)
     return int(max(int(tg.auto_base_zoom(r)) for r in res))

@@ -75,13 +75,24 @@ def images_dataset(images_path, columns=None, num_blocks=None):
 def _effective_res(batch: pa.Table, profile="mercator") -> pa.Table:
     """Per-image source resolution in dest-PROFILE units (meters for
     mercator, degrees for geodetic)."""
+    from .. import raster
+
     gts = batch.column("gt").to_pylist()
     srs = batch.column("srs").to_pylist()
     res = np.empty(len(gts))
     deg_per_m = 180.0 / tg.ORIGIN
     for i, g in enumerate(gts):
         r = abs(g[1])
-        if profile == "geodetic":
+        tm = raster._tmerc_of(srs[i])
+        if tm is not None:
+            # UTM meters ≈ ground meters; mercator meters inflate by
+            # 1/cos(lat) — evaluate at the image origin's latitude
+            _, lat0 = tm.inverse(g[0], g[3])
+            if profile == "geodetic":
+                r *= deg_per_m
+            else:
+                r /= max(np.cos(np.radians(float(lat0))), 1e-6)
+        elif profile == "geodetic":
             if srs[i] != "EPSG:4326":
                 r *= deg_per_m
         elif srs[i] == "EPSG:4326":

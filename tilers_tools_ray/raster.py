@@ -26,6 +26,7 @@ import numpy as np
 
 from . import codecs
 from . import geometry as geo
+from . import proj
 from . import tilegrid as tg
 
 TILE = tg.TILE_SIZE
@@ -59,19 +60,30 @@ def parse_wkb_polygon(data):
 
 _DEG_TO_MERC_X = tg.ORIGIN / 180.0
 
-#: the SRS values the pure-numpy warp path understands. The reference
-#: accepts any proj4 SRS by delegating to GDAL; this engine has no
-#: projection library, so anything else must fail loudly instead of
-#: being silently treated as mercator meters.
+#: the axis-SEPARABLE SRS values (1-D broadcast warp path). UTM /
+#: transverse-Mercator sources are additionally accepted via proj.py's
+#: Tmerc kernel (2-D grid path). The reference accepts any proj4 SRS
+#: by delegating to GDAL; anything this engine doesn't implement must
+#: fail loudly instead of being silently treated as mercator meters.
 SUPPORTED_SRS = ("EPSG:3857", "EPSG:900913", "EPSG:4326")
 
 
+def _tmerc_of(srs):
+    """Tmerc descriptor for UTM/tmerc SRS strings, else None.
+    (parse_srs raises on recognizably-tmerc-but-malformed input.)"""
+    if srs in SUPPORTED_SRS or srs == "PIXEL":
+        return None
+    return proj.parse_srs(srs)
+
+
 def check_srs(srs):
-    if srs not in SUPPORTED_SRS:
+    if srs not in SUPPORTED_SRS and _tmerc_of(srs) is None:
         raise ValueError(
             f"unsupported srs {srs!r}: this engine implements "
-            f"{SUPPORTED_SRS} only (the reference delegates arbitrary "
-            "SRS to GDAL; add a projection kernel to extend)"
+            f"{SUPPORTED_SRS} plus UTM/transverse-Mercator "
+            "(EPSG:326xx/327xx, +proj=utm, +proj=tmerc) only (the "
+            "reference delegates arbitrary SRS to GDAL; add a "
+            "projection kernel to extend)"
         )
     return srs
 
@@ -87,6 +99,12 @@ def _to_profile_units(wx, wy, srs, profile):
             )
         return wx, wy
     check_srs(srs)
+    tm = _tmerc_of(srs)
+    if tm is not None:
+        lon, lat = tm.inverse(wx, wy)
+        if profile == "geodetic":
+            return lon, lat
+        return tg.lonlat_to_merc(lon, lat)
     if profile == "geodetic":
         if srs == "EPSG:4326":
             return wx, wy
@@ -102,7 +120,10 @@ def source_to_merc_corners(gt, w, h, srs):
     px = np.array([0.0, w, w, 0.0])
     py = np.array([0.0, 0.0, h, h])
     wx, wy = geo.apply_gt(np.asarray(gt, dtype=np.float64), px, py)
-    if srs == "EPSG:4326":
+    tm = _tmerc_of(srs)
+    if tm is not None:
+        wx, wy = tg.lonlat_to_merc(*tm.inverse(wx, wy))
+    elif srs == "EPSG:4326":
         wx, wy = tg.lonlat_to_merc(wx, wy)
     return np.stack([wx, wy], axis=1)
 
@@ -112,19 +133,38 @@ def footprint_bbox_merc(gt, w, h, srs):
     return c[:, 0].min(), c[:, 1].min(), c[:, 0].max(), c[:, 1].max()
 
 
-def footprint_bbox_profile(gt, w, h, srs, profile="mercator"):
-    """Footprint bbox in dest-profile units (meters or degrees)."""
-    px = np.array([0.0, w, w, 0.0])
-    py = np.array([0.0, 0.0, h, h])
-    wx, wy = geo.apply_gt(np.asarray(gt, dtype=np.float64), px, py)
+def _edge_samples(w, h, n=17):
+    """Pixel-border samples (n per edge) — curved-edge footprints."""
+    t = np.linspace(0.0, 1.0, n)
+    px = np.concatenate([t * w, np.full(n, float(w)), (1 - t) * w, np.zeros(n)])
+    py = np.concatenate([np.zeros(n), t * h, np.full(n, float(h)), (1 - t) * h])
+    return px, py
+
+
+def footprint_bbox_profile(gt, w, h, srs, profile="mercator", poly=None):
+    """Footprint bbox in dest-profile units (meters or degrees).
+    Corners are exact for affine+separable sources; tmerc and
+    polynomial (order-2 GCP) sources map straight edges to curves, so
+    their edges are sampled densely (the mid-edge bulge would
+    otherwise clip footprint tiles)."""
+    if poly is not None:
+        px, py = _edge_samples(w, h)
+        wx, wy = geo.apply_poly2_fwd(poly, px, py)
+    else:
+        if _tmerc_of(srs) is not None:
+            px, py = _edge_samples(w, h)
+        else:
+            px = np.array([0.0, w, w, 0.0])
+            py = np.array([0.0, 0.0, h, h])
+        wx, wy = geo.apply_gt(np.asarray(gt, dtype=np.float64), px, py)
     wx, wy = _to_profile_units(wx, wy, srs, profile)
     return wx.min(), wy.min(), wx.max(), wy.max()
 
 
-def base_tiles_for_image(gt, w, h, srs, z, profile="mercator"):
+def base_tiles_for_image(gt, w, h, srs, z, profile="mercator", poly=None):
     """Tiles at zoom z intersecting the image footprint bbox, in the
     dest profile's grid."""
-    bb = footprint_bbox_profile(gt, w, h, srs, profile)
+    bb = footprint_bbox_profile(gt, w, h, srs, profile, poly=poly)
     if isinstance(profile, tg.RasterGrid):
         return profile.tiles_overlapping_bbox(*bb, z)
     if profile == "geodetic":
@@ -137,7 +177,7 @@ def base_tiles_for_image(gt, w, h, srs, z, profile="mercator"):
 # ---------------------------------------------------------------------------
 
 
-def _source_coords(gt, srs, z, gx, gy, profile="mercator"):
+def _source_coords(gt, srs, z, gx, gy, profile="mercator", poly=None):
     """Dest global-pixel indices (1-D cols ``gx``, 1-D rows ``gy``) →
     source pixel coords (2-D spx, spy) via separable broadcast: both
     profile→source-SRS conversions (mercator↔lonlat) are axis-
@@ -152,6 +192,17 @@ def _source_coords(gt, srs, z, gx, gy, profile="mercator"):
     float32 keeps ~2·10⁻⁴ px — far below the half-pixel that could
     flip a nearest-neighbor sample — at HALF the memory bandwidth of
     the biggest arrays in the pipeline."""
+    if poly is not None:
+        if isinstance(profile, tg.RasterGrid):
+            raise ValueError("polynomial GCP warp unsupported for raster profile")
+        return _source_coords_poly(poly, srs, z, gx, gy, profile)
+    tm = _tmerc_of(srs)
+    if tm is not None:
+        if isinstance(profile, tg.RasterGrid):
+            raise ValueError(
+                f"raster profile requires srs='PIXEL' sources, got {srs!r}"
+            )
+        return _source_coords_tmerc(gt, tm, z, gx, gy, profile)
     if isinstance(profile, tg.RasterGrid):
         if srs != "PIXEL":
             raise ValueError(
@@ -192,6 +243,88 @@ def _source_coords(gt, srs, z, gx, gy, profile="mercator"):
     row_y = (inv[5] * dy).astype(np.float32)
     spx = row_x[:, None] + col_x[None, :]
     spy = row_y[:, None] + col_y[None, :]
+    return spx, spy
+
+
+def _source_coords_tmerc(gt, tm, z, gx, gy, profile):
+    """Dest global-pixel indices → source pixels for a UTM/tmerc
+    source. The mapping is NOT axis-separable (easting depends on both
+    lon and lat), so the full 2-D grid is projected — in row chunks to
+    bound the ~10 float64 temporaries the series needs (a whole-image
+    warp window can be thousands of pixels on a side)."""
+    if profile == "geodetic":
+        res = tg.geodetic_resolution(z)
+        lon = (np.asarray(gx, dtype=np.float64) + 0.5) * res - 180.0
+        lat = 90.0 - (np.asarray(gy, dtype=np.float64) + 0.5) * res
+    else:
+        n = 1 << int(z)
+        res = 2.0 * tg.ORIGIN / (TILE * n)
+        mx = (np.asarray(gx, dtype=np.float64) + 0.5) * res - tg.ORIGIN
+        my = tg.ORIGIN - (np.asarray(gy, dtype=np.float64) + 0.5) * res
+        lon = np.degrees(mx / tg.EARTH_RADIUS)
+        lat = np.degrees(2.0 * np.arctan(np.exp(my / tg.EARTH_RADIUS)) - np.pi / 2.0)
+    gt = np.asarray(gt, dtype=np.float64)
+    inv = geo.invert_gt(gt)
+    ny, nx = len(lat), len(lon)
+    spx = np.empty((ny, nx), dtype=np.float32)
+    spy = np.empty((ny, nx), dtype=np.float32)
+    step = max(1, 2_000_000 // max(nx, 1))  # ~16 MB of f64 per temp
+    for r0 in range(0, ny, step):
+        r1 = min(ny, r0 + step)
+        wx, wy = tm.forward(
+            np.broadcast_to(lon[None, :], (r1 - r0, nx)),
+            np.broadcast_to(lat[r0:r1, None], (r1 - r0, nx)),
+        )
+        dx = wx - gt[0]
+        dy = wy - gt[3]
+        spx[r0:r1] = inv[1] * dx + inv[2] * dy
+        spy[r0:r1] = inv[4] * dx + inv[5] * dy
+    return spx, spy
+
+
+def _source_coords_poly(poly, srs, z, gx, gy, profile):
+    """Dest global-pixel indices → source pixels through an order-2
+    GCP polynomial (geometry.solve_poly2 record). Quadratic cross
+    terms make the mapping non-axis-separable, so the full 2-D grid is
+    evaluated in row chunks (same memory bound as the tmerc path). The
+    polynomial's world side is in SOURCE-SRS units, so the dest grid
+    is first converted per srs (lonlat / merc / tmerc-forward)."""
+    check_srs(srs)
+    if profile == "geodetic":
+        res = tg.geodetic_resolution(z)
+        lon = (np.asarray(gx, dtype=np.float64) + 0.5) * res - 180.0
+        lat = 90.0 - (np.asarray(gy, dtype=np.float64) + 0.5) * res
+        if srs in ("EPSG:3857", "EPSG:900913"):
+            u1, v1 = tg.lonlat_to_merc(lon, lat)  # axis-separable kernel
+        else:
+            u1, v1 = lon, lat
+    else:
+        n = 1 << int(z)
+        res = 2.0 * tg.ORIGIN / (TILE * n)
+        mx = (np.asarray(gx, dtype=np.float64) + 0.5) * res - tg.ORIGIN
+        my = tg.ORIGIN - (np.asarray(gy, dtype=np.float64) + 0.5) * res
+        if srs in ("EPSG:3857", "EPSG:900913"):
+            u1, v1 = mx, my
+        else:
+            u1 = np.degrees(mx / tg.EARTH_RADIUS)
+            v1 = np.degrees(
+                2.0 * np.arctan(np.exp(my / tg.EARTH_RADIUS)) - np.pi / 2.0
+            )
+    tm = _tmerc_of(srs)
+    poly = np.asarray(poly, dtype=np.float64)
+    ny, nx = len(v1), len(u1)
+    spx = np.empty((ny, nx), dtype=np.float32)
+    spy = np.empty((ny, nx), dtype=np.float32)
+    step = max(1, 2_000_000 // max(nx, 1))
+    for r0 in range(0, ny, step):
+        r1 = min(ny, r0 + step)
+        wx = np.broadcast_to(u1[None, :], (r1 - r0, nx))
+        wy = np.broadcast_to(v1[r0:r1, None], (r1 - r0, nx))
+        if tm is not None:  # grid is lonlat here; poly world is tmerc meters
+            wx, wy = tm.forward(wx, wy)
+        px, py = geo.apply_poly2_inv(poly, wx, wy)
+        spx[r0:r1] = px
+        spy[r0:r1] = py
     return spx, spy
 
 
@@ -324,7 +457,7 @@ def _apply_mask(frag, spx, spy, cutline, inb, w, h):
 
 
 def cut_fragment(pixels, gt, srs, cutline, z, x, y, resampling="nearest",
-                 profile="mercator"):
+                 profile="mercator", poly=None):
     """Render source ``pixels`` (H×W×4 RGBA) into dest tile (z, x, y).
 
     Returns a 256×256×4 uint8 RGBA fragment (alpha 0 where the tile is
@@ -337,7 +470,7 @@ def cut_fragment(pixels, gt, srs, cutline, z, x, y, resampling="nearest",
     h, w = pixels.shape[:2]
     gx = x * TILE + np.arange(TILE, dtype=np.float64)
     gy = y * TILE + np.arange(TILE, dtype=np.float64)
-    spx, spy = _source_coords(gt, srs, z, gx, gy, profile)
+    spx, spy = _source_coords(gt, srs, z, gx, gy, profile, poly=poly)
     frag, inb = _sample(pixels, spx, spy, resampling)
     frag = _apply_mask(frag, spx, spy, cutline, inb, w, h)
     if not frag[:, :, 3].any():
@@ -345,16 +478,17 @@ def cut_fragment(pixels, gt, srs, cutline, z, x, y, resampling="nearest",
     return frag
 
 
-def dest_pixel_window(gt, w, h, srs, z, margin=2, profile="mercator"):
+def dest_pixel_window(gt, w, h, srs, z, margin=2, profile="mercator", poly=None):
     """Global dest-pixel bbox [gx0, gx1) × [gy0, gy1) that bounds the
     image footprint at zoom z, from 65-point sampling of each source
     edge (+``margin`` px). Exact for affine sources (corners bound the
     parallelogram); the sampling covers the mild edge curvature of
-    cross-SRS sources."""
-    t = np.linspace(0.0, 1.0, 65)
-    edge_px = np.concatenate([t * w, np.full(65, float(w)), (1 - t) * w, np.zeros(65)])
-    edge_py = np.concatenate([np.zeros(65), t * h, np.full(65, float(h)), (1 - t) * h])
-    wx, wy = geo.apply_gt(np.asarray(gt, dtype=np.float64), edge_px, edge_py)
+    cross-SRS and polynomial-GCP sources."""
+    edge_px, edge_py = _edge_samples(w, h, 65)
+    if poly is not None:
+        wx, wy = geo.apply_poly2_fwd(poly, edge_px, edge_py)
+    else:
+        wx, wy = geo.apply_gt(np.asarray(gt, dtype=np.float64), edge_px, edge_py)
     wx, wy = _to_profile_units(wx, wy, srs, profile)
     if isinstance(profile, tg.RasterGrid):
         res = profile.resolution(z)
@@ -376,7 +510,7 @@ def dest_pixel_window(gt, w, h, srs, z, margin=2, profile="mercator"):
 
 
 def warp_image_to_base(pixels, gt, srs, cutline, z, resampling="nearest",
-                       profile="mercator"):
+                       profile="mercator", poly=None):
     """Warp the WHOLE image once into its dest-pixel window at zoom z
     (gdal_tiler's strategy: warp per map, window per tile [C]).
 
@@ -386,12 +520,14 @@ def warp_image_to_base(pixels, gt, srs, cutline, z, resampling="nearest",
     slice time). One coordinate transform per image, sized to the
     pixels the image can actually touch."""
     h, w = pixels.shape[:2]
-    gx0, gx1, gy0, gy1 = dest_pixel_window(gt, w, h, srs, z, profile=profile)
+    gx0, gx1, gy0, gy1 = dest_pixel_window(
+        gt, w, h, srs, z, profile=profile, poly=poly
+    )
     if gx1 <= gx0 or gy1 <= gy0:
         return gx0, gy0, np.zeros((0, 0, 4), dtype=np.uint8)
     gx = np.arange(gx0, gx1, dtype=np.float64)
     gy = np.arange(gy0, gy1, dtype=np.float64)
-    spx, spy = _source_coords(gt, srs, z, gx, gy, profile)
+    spx, spy = _source_coords(gt, srs, z, gx, gy, profile, poly=poly)
     warped, inb = _sample(pixels, spx, spy, resampling)
     warped = _apply_mask(warped, spx, spy, cutline, inb, w, h)
     return gx0, gy0, warped
@@ -477,7 +613,7 @@ def downsample_children(children, mode="box"):
 
 def emit_fragments_for_image(
     pixels, gt, srs, cutline, zooms, resampling="nearest", only_tiles=None,
-    profile="mercator",
+    profile="mercator", poly=None,
 ):
     """Yield (z, x, y, fragment) for every base-zoom tile the image
     covers. ``zooms`` is the list of BASE zooms to cut at (normally one
@@ -488,7 +624,7 @@ def emit_fragments_for_image(
     one transform per tile."""
     for z in zooms:
         gx0, gy0, warped = warp_image_to_base(
-            pixels, gt, srs, cutline, z, resampling, profile=profile
+            pixels, gt, srs, cutline, z, resampling, profile=profile, poly=poly
         )
         hh, ww = warped.shape[:2]
         if hh == 0 or ww == 0:

@@ -38,6 +38,11 @@ def centroids_merc(batch: pa.Table):
     srs = np.asarray(batch.column("srs").to_pylist())
     for s in set(srs.tolist()):
         raster.check_srs(s)
+        tm = raster._tmerc_of(s)
+        if tm is not None:  # UTM corners → lonlat → merc
+            sel = srs == s
+            lon, lat = tm.inverse(wx[sel], wy[sel])
+            wx[sel], wy[sel] = tg.lonlat_to_merc(lon, lat)
     deg = srs == "EPSG:4326"
     if deg.any():
         mx, my = tg.lonlat_to_merc(wx[deg], wy[deg])
