@@ -124,7 +124,7 @@ PLY/4,10,290
 
 
 def test_bsb_reader():
-    gt, srs, ring, datum = georef.parse_georef_any(BSB)
+    gt, srs, ring, datum, poly = georef.parse_georef_any(BSB)
     assert srs == "EPSG:4326" and datum == "WGS 84"
     from tilers_tools_ray import geometry as geo
 
@@ -138,7 +138,7 @@ def test_bsb_reader():
 
 
 def test_kml_reader_and_registry():
-    gt, srs, ring, datum = georef.parse_georef_any(KML)
+    gt, srs, ring, datum, poly = georef.parse_georef_any(KML)
     assert srs == "EPSG:4326"
     import numpy as np
 

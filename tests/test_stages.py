@@ -282,7 +282,7 @@ def test_geo_parser_and_registry(tiny_corpus):
               for i, (vx, vy) in enumerate([(0, 0), (800, 0), (800, 600), (0, 600)])]
     text = "\n".join(lines)
     assert georef.sniff_format(text) == "geo"
-    gt, srs, ring, datum = georef.parse_georef_any(text)
+    gt, srs, ring, datum, poly = georef.parse_georef_any(text)
     assert srs == "EPSG:3857" and datum == "FAKE-SHIFTED"
     assert np.allclose(gt, gt_true, atol=1e-6)
     assert ring.shape == (4, 2)
@@ -356,7 +356,7 @@ def test_dms_points_and_scalar():
         "Point03,xy,100.0,100.0,dms,40,30.0,N,9,30.0,W",
         "Point04,xy,0.0,100.0,dms,40,30.0,N,10,0.0,W",
     ]
-    gt, srs, ring, datum = georef.parse_georef_text("\n".join(lines))
+    gt, srs, ring, datum, poly = georef.parse_georef_text("\n".join(lines))
     assert srs == "EPSG:4326" and datum == "WGS 84"
     import numpy as np
 

@@ -134,10 +134,38 @@ def apply_poly2_fwd(p, px, py):
     return _apply_poly2(p[0:4], p[4:16], px, py)
 
 
-def apply_poly2_inv(p, wx, wy):
-    """world → pixel through a solve_poly2 record."""
+def apply_poly2_inv(p, wx, wy, refine=2):
+    """world → pixel through a solve_poly2 record.
+
+    The fitted inverse quadratic is only a model (the true inverse of
+    a quadratic is not one); it seeds ``refine`` Newton steps against
+    the FORWARD polynomial (analytic 2×2 Jacobian, vectorized), which
+    drive the residual to float noise — the same exactness GDAL's
+    iterative polynomial inverter provides. refine=0 gives the raw
+    fitted inverse."""
     p = np.asarray(p, dtype=np.float64)
-    return _apply_poly2(p[16:20], p[20:32], wx, wy)
+    wx = np.asarray(wx, dtype=np.float64)
+    wy = np.asarray(wy, dtype=np.float64)
+    px, py = _apply_poly2(p[16:20], p[20:32], wx, wy)
+    if refine:
+        pcx, pcy, psx, psy = p[0:4]
+        ax, ay = p[4:10], p[10:16]
+        for _ in range(int(refine)):
+            u = (px - pcx) / psx
+            v = (py - pcy) / psy
+            b = _poly2_basis(u, v)
+            fx = b @ ax - wx
+            fy = b @ ay - wy
+            # d/du basis = (0, 1, 0, 2u, v, 0); d/dv = (0, 0, 1, 0, u, 2v)
+            j11 = (ax[1] + 2.0 * ax[3] * u + ax[4] * v) / psx
+            j12 = (ax[2] + ax[4] * u + 2.0 * ax[5] * v) / psy
+            j21 = (ay[1] + 2.0 * ay[3] * u + ay[4] * v) / psx
+            j22 = (ay[2] + ay[4] * u + 2.0 * ay[5] * v) / psy
+            det = j11 * j22 - j12 * j21
+            det = np.where(np.abs(det) < 1e-30, 1e-30, det)
+            px = px - (j22 * fx - j12 * fy) / det
+            py = py - (j11 * fy - j21 * fx) / det
+    return px, py
 
 
 # ---------------------------------------------------------------------------

@@ -52,8 +52,16 @@ def iter_image_rows(images_table):
     cols = {name: images_table.column(name).to_pylist() for name in
             ("image_id", "bytes", "fmt", "caption", "gt", "srs",
              "cutline_wkb", "zorder")}
+    cols["poly"] = (
+        images_table.column("poly").to_pylist()
+        if "poly" in images_table.schema.names
+        else [None] * images_table.num_rows
+    )
     for i in range(images_table.num_rows):
-        yield {k: v[i] for k, v in cols.items()}
+        row = {k: v[i] for k, v in cols.items()}
+        if row["poly"] is not None:
+            row["poly"] = np.asarray(row["poly"], dtype=np.float64)
+        yield row
 
 
 def tile_pyramid(images_table, z_base=None, z_min=4, resampling="nearest"):
@@ -66,7 +74,8 @@ def tile_pyramid(images_table, z_base=None, z_min=4, resampling="nearest"):
         cutline = raster.parse_wkb_polygon(row["cutline_wkb"])
         gt = np.asarray(row["gt"], dtype=np.float64)
         for z, x, y, frag in raster.emit_fragments_for_image(
-            pixels, gt, row["srs"], cutline, [z_base], resampling
+            pixels, gt, row["srs"], cutline, [z_base], resampling,
+            poly=row["poly"],
         ):
             key = int(tg.pack_key(z, x, y))
             per_tile.setdefault(key, []).append(
@@ -99,7 +108,8 @@ def tile_assignments(images_table, z_base=None, resampling="nearest"):
         cutline = raster.parse_wkb_polygon(row["cutline_wkb"])
         gt = np.asarray(row["gt"], dtype=np.float64)
         for z, x, y, _ in raster.emit_fragments_for_image(
-            pixels, gt, row["srs"], cutline, [z_base], resampling
+            pixels, gt, row["srs"], cutline, [z_base], resampling,
+            poly=row["poly"],
         ):
             rows.append((row["image_id"], int(tg.pack_key(z, x, y))))
     return rows

@@ -41,9 +41,30 @@ FRAG_COLUMNS = [
     "srs",
     "cutline_wkb",
     "zorder",
+    "poly",
 ]
 
-GEOREF_COLUMNS = ["image_id", "w", "h", "gt", "srs", "zorder"]
+GEOREF_COLUMNS = ["image_id", "w", "h", "gt", "srs", "zorder", "poly"]
+
+#: columns silently dropped from a requested list when the input table
+#: lacks them (older tables predate the order-2 GCP ``poly`` column);
+#: every other missing column still fails loudly in read_parquet
+OPTIONAL_COLUMNS = frozenset({"poly"})
+
+
+def _prune_optional(images_path, columns):
+    try:
+        if os.path.isfile(images_path):
+            names = set(pq.read_schema(images_path).names)
+        else:
+            f = next(
+                p for p in sorted(os.listdir(images_path))
+                if p.endswith(".parquet")
+            )
+            names = set(pq.read_schema(os.path.join(images_path, f)).names)
+    except (OSError, StopIteration):
+        return columns
+    return [c for c in columns if c in names or c not in OPTIONAL_COLUMNS]
 
 
 def images_dataset(images_path, columns=None, num_blocks=None):
@@ -53,8 +74,12 @@ def images_dataset(images_path, columns=None, num_blocks=None):
 
     if lance_source.is_lance_uri(images_path):  # S9 native scan
         return lance_source.read_lance(
-            images_path, columns=columns or FRAG_COLUMNS, num_blocks=num_blocks
+            images_path,
+            columns=[c for c in (columns or FRAG_COLUMNS)
+                     if c not in OPTIONAL_COLUMNS],
+            num_blocks=num_blocks,
         )
+    columns = _prune_optional(images_path, columns or FRAG_COLUMNS)
     if num_blocks is None:
         # block count sets downstream TASK granularity: ~8 blocks/CPU
         # keeps the actor-pool tail short (per-image work is highly
@@ -67,7 +92,7 @@ def images_dataset(images_path, columns=None, num_blocks=None):
             num_blocks = 64
     return rd.read_parquet(
         images_path,
-        columns=columns or FRAG_COLUMNS,
+        columns=columns,
         override_num_blocks=num_blocks,
     )
 
@@ -141,7 +166,7 @@ def census_parts(images_path, z_base, z_part, batch_size=512, profile="mercator"
     """Georef-only census: fragments per part (upper bound — cutline
     drops are not modeled). Small result → driver. Feeds the salt plan
     (§4.2) and the skew report."""
-    ds = images_dataset(images_path, columns=["gt", "srs", "w", "h"])
+    ds = images_dataset(images_path, columns=["gt", "srs", "w", "h", "poly"])
     parts = ds.map_batches(
         tiling.TouchedParts(z_base, z_part, profile=profile),
         batch_format="pyarrow",

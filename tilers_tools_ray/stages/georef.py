@@ -44,9 +44,38 @@ def dms_to_deg(deg, minutes=0.0, seconds=0.0, hemi=""):
     return v
 
 
+#: affine max-residual (source px) beyond which ≥6-GCP sidecars get an
+#: order-2 polynomial refinement (the reference's `gdal_translate
+#: -gcp -order 2` path for warped paper scans [R])
+GCP_POLY_RESIDUAL_PX = 0.5
+
+
+def solve_gcps(px, py, wx, wy, order="auto"):
+    """GCPs → (gt, poly): always the affine fit (M3), plus an order-2
+    polynomial record (geometry.solve_poly2) when ``order`` is 2, or
+    when ``order='auto'`` with ≥6 GCPs whose affine residual exceeds
+    GCP_POLY_RESIDUAL_PX source pixels — scanned charts with warped
+    paper. ``order=1`` forces affine-only."""
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    wx = np.asarray(wx, dtype=np.float64)
+    wy = np.asarray(wy, dtype=np.float64)
+    gt = geo.solve_affine(px, py, wx, wy)
+    poly = None
+    if order == 2 or (order == "auto" and len(px) >= 6):
+        inv = geo.invert_gt(gt)
+        rx = inv[0] + inv[1] * wx + inv[2] * wy - px
+        ry = inv[3] + inv[4] * wx + inv[5] * wy - py
+        resid = float(np.hypot(rx, ry).max())
+        if order == 2 or resid > GCP_POLY_RESIDUAL_PX:
+            poly = geo.solve_poly2(px, py, wx, wy)
+    return gt, poly
+
+
 def parse_georef_text(text):
-    """One sidecar → (gt, srs, cutline ring, datum). Raises ValueError
-    on malformed input (tested contract)."""
+    """One sidecar → (gt, srs, cutline ring, datum, poly). Raises
+    ValueError on malformed input (tested contract). ``poly`` is the
+    order-2 refinement record or None (see solve_gcps)."""
     lines = text.splitlines()
     if not lines or not lines[0].startswith("OziExplorer Map Data File"):
         raise ValueError("not an Ozi-style sidecar")
@@ -78,8 +107,8 @@ def parse_georef_text(text):
             ring.append((float(m.group(1)), float(m.group(2))))
     if len(px) < 3:
         raise ValueError("need ≥3 GCPs to solve an affine")
-    gt = geo.solve_affine(np.array(px), np.array(py), np.array(wx), np.array(wy))
-    return gt, srs, np.array(ring, dtype=np.float64), datum
+    gt, poly = solve_gcps(px, py, wx, wy)
+    return gt, srs, np.array(ring, dtype=np.float64), datum, poly
 
 
 _KML_BOX_RE = re.compile(
@@ -91,16 +120,18 @@ _KML_SIZE_RE = re.compile(r"<!--\s*size\s+(\d+)x(\d+)\s*-->")
 
 def parse_kml_groundoverlay(text):
     """KML GroundOverlay reader (reader_kml.py equivalent, S5 [R]):
-    ``<LatLonBox>`` north/south/east/west (+rotation, must be 0 here)
-    → corner GCPs → affine in EPSG:4326. The pixel size comes from a
-    ``<!-- size WxH -->`` annotation (the reference reads it from the
-    image file; payloads here are opaque to the parser)."""
+    ``<LatLonBox>`` north/south/east/west (+rotation) → corner GCPs →
+    affine in EPSG:4326. ``<rotation>`` follows the KML spec: degrees
+    counter-clockwise about the box center, applied in the flat
+    lon/lat plane — the box corners are rotated before the solve, and
+    the 4-corner affine fit is then exact (rotated affine). The pixel
+    size comes from a ``<!-- size WxH -->`` annotation (the reference
+    reads it from the image file; payloads here are opaque to the
+    parser)."""
     vals = {m.group(1): float(m.group(2)) for m in _KML_BOX_RE.finditer(text)}
     for k in ("north", "south", "east", "west"):
         if k not in vals:
             raise ValueError(f"KML GroundOverlay missing <{k}>")
-    if vals.get("rotation", 0.0) != 0.0:
-        raise ValueError("rotated GroundOverlay not supported")
     m = _KML_SIZE_RE.search(text)
     if not m:
         raise ValueError("missing size annotation")
@@ -110,9 +141,15 @@ def parse_kml_groundoverlay(text):
     py = np.array([0.0, 0.0, h, h])
     wx = np.array([vals["west"], vals["east"], vals["east"], vals["west"]])
     wy = np.array([vals["north"], vals["north"], vals["south"], vals["south"]])
+    rot = np.radians(vals.get("rotation", 0.0))
+    if rot != 0.0:
+        cx, cy = wx.mean(), wy.mean()
+        dx, dy = wx - cx, wy - cy
+        wx = cx + dx * np.cos(rot) - dy * np.sin(rot)
+        wy = cy + dx * np.sin(rot) + dy * np.cos(rot)
     gt = geo.solve_affine(px, py, wx, wy)
     ring = np.array([[0, 0], [w, 0], [w, h], [0, h]], dtype=np.float64)
-    return gt, "EPSG:4326", ring, "WGS 84"
+    return gt, "EPSG:4326", ring, "WGS 84", None
 
 
 _BSB_REF_RE = re.compile(
@@ -152,8 +189,8 @@ def parse_bsb_header(text):
     shift = DATUM_TABLE[datum]
     wx = np.asarray(wx) - shift[0]
     wy = np.asarray(wy) - shift[1]
-    gt = geo.solve_affine(np.array(px), np.array(py), wx, wy)
-    return gt, "EPSG:4326", np.array(ring, dtype=np.float64), datum
+    gt, poly = solve_gcps(px, py, wx, wy)
+    return gt, "EPSG:4326", np.array(ring, dtype=np.float64), datum, poly
 
 
 _GEO_KV_RE = re.compile(r"^\s*(\w+)\s*=\s*(.*?)\s*$")
@@ -209,13 +246,10 @@ def parse_geo_header(text):
     if len(px) < 3:
         raise ValueError("need ≥3 Point records to solve an affine")
     shift = DATUM_TABLE[datum]
-    gt = geo.solve_affine(
-        np.array(px),
-        np.array(py),
-        np.asarray(wx) - shift[0],
-        np.asarray(wy) - shift[1],
+    gt, poly = solve_gcps(
+        px, py, np.asarray(wx) - shift[0], np.asarray(wy) - shift[1]
     )
-    return gt, srs, np.array(ring, dtype=np.float64), datum
+    return gt, srs, np.array(ring, dtype=np.float64), datum, poly
 
 
 #: reader registry keyed by sidecar format — the engine's equivalent of
@@ -247,16 +281,18 @@ def parse_georef_any(text):
 
 
 def parse_georef_batch(batch: pa.Table) -> pa.Table:
-    """images rows (image_id, georef_text) → parsed georef columns."""
+    """images rows (image_id, georef_text) → parsed georef columns.
+    ``poly_parsed`` is null for affine-only sidecars."""
     ids = batch.column("image_id").to_pylist()
     texts = batch.column("georef_text").to_pylist()
-    gts, srss, cuts, datums = [], [], [], []
+    gts, srss, cuts, datums, polys = [], [], [], [], []
     for t in texts:
-        gt, srs, ring, datum = parse_georef_any(t)
+        gt, srs, ring, datum, poly = parse_georef_any(t)
         gts.append(gt.tolist())
         srss.append(srs)
         cuts.append(raster.wkb_polygon(ring))
         datums.append(datum)
+        polys.append(None if poly is None else poly.tolist())
     return pa.table(
         {
             "image_id": pa.array(ids, pa.string()),
@@ -264,6 +300,7 @@ def parse_georef_batch(batch: pa.Table) -> pa.Table:
             "srs_parsed": pa.array(srss, pa.string()),
             "cutline_wkb_parsed": pa.array(cuts, pa.binary()),
             "datum": pa.array(datums, pa.string()),
+            "poly_parsed": pa.array(polys, pa.list_(pa.float64())),
         }
     )
 

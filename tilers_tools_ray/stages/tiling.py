@@ -152,6 +152,12 @@ class FragmentEmitter:
                 "zorder",
             )
         }
+        # optional order-2 GCP polynomial column (null → affine gt)
+        cols["poly"] = (
+            batch.column("poly").to_pylist()
+            if "poly" in batch.schema.names
+            else [None] * batch.num_rows
+        )
         shift = self.z_base - self.z_part
         for i in range(batch.num_rows):
             gt = np.asarray(cols["gt"][i], dtype=np.float64)
@@ -178,8 +184,11 @@ class FragmentEmitter:
         columns alone, so an image whose parts are ALL done is never
         decoded (resume fast path, §4.3)."""
         w, h = int(cols["w"][i]), int(cols["h"][i])
+        poly = cols["poly"][i]
+        if poly is not None:
+            poly = np.asarray(poly, dtype=np.float64)
         xs, ys = raster.base_tiles_for_image(
-            gt, w, h, srs, self.z_base, profile=self.profile
+            gt, w, h, srs, self.z_base, profile=self.profile, poly=poly
         )
         shift = self.z_base - self.z_part
         todo = [
@@ -195,7 +204,7 @@ class FragmentEmitter:
         only = set(todo) if len(todo) < len(xs) else None
         yield from raster.emit_fragments_for_image(
             pixels, gt, srs, cutline, [self.z_base], self.resampling,
-            only_tiles=only, profile=self.profile,
+            only_tiles=only, profile=self.profile, poly=poly,
         )
 
 
@@ -216,11 +225,20 @@ class TouchedParts:
         srss = batch.column("srs").to_pylist()
         ws = batch.column("w").to_pylist()
         hs = batch.column("h").to_pylist()
+        polys = (
+            batch.column("poly").to_pylist()
+            if "poly" in batch.schema.names
+            else [None] * batch.num_rows
+        )
         shift = self.z_base - self.z_part
         for i in range(batch.num_rows):
             gt = np.asarray(gts[i], dtype=np.float64)
+            poly = polys[i]
+            if poly is not None:
+                poly = np.asarray(poly, dtype=np.float64)
             xs, ys = raster.base_tiles_for_image(
-                gt, ws[i], hs[i], srss[i], self.z_base, profile=self.profile
+                gt, ws[i], hs[i], srss[i], self.z_base, profile=self.profile,
+                poly=poly,
             )
             parts = tg.pack_key(
                 np.full(len(xs), self.z_part, dtype=np.int64),
