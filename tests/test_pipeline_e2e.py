@@ -181,3 +181,59 @@ def test_overview_resampling_nearest(ray_session, tiny_corpus, tmp_path):
         assert np.array_equal(got, expect)
         checked += 1
     assert checked > 0
+
+
+def test_overview_resampling_bilinear(ray_session, tiny_corpus, tmp_path):
+    """--overview-resampling bilinear: PIL-style 4-tap (1,3,3,1)/8
+    separable tent, edge-clamped — distinct from box and nearest."""
+    import numpy as np
+
+    from tilers_tools_ray import raster
+    from tilers_tools_ray.pipelines import pyramid
+    from tilers_tools_ray.stages import tiling
+
+    out = str(tmp_path / "bl_pyr")
+    s = pyramid.write_pyramid(
+        tiny_corpus["images"], out, z_min=None or 7, salt=False,
+        overview_resampling="bilinear",
+    )
+    zs = sorted(s)
+    z_hi, z_lo = zs[-1], zs[-2]
+    base = pyramid.read_tiles(out, z=z_hi).to_pandas()
+    over = pyramid.read_tiles(out, z=z_lo).to_pandas().set_index(["x", "y"])
+    kids = {}
+    for row in base.itertuples(index=False):
+        kids.setdefault((row.x >> 1, row.y >> 1), {})[
+            (row.x & 1, row.y & 1)
+        ] = tiling.unpack_pixels(row.pixels)
+    checked = differs = 0
+    for (px, py), ch in kids.items():
+        expect = raster.downsample_children(ch, mode="bilinear")
+        got = tiling.unpack_pixels(over.loc[(px, py), "pixels"])
+        assert np.array_equal(got, expect)
+        if not np.array_equal(expect, raster.downsample_children(ch, mode="box")):
+            differs += 1
+        checked += 1
+    assert checked > 0 and differs > 0
+
+
+def test_bilinear_downsample_kernel_math():
+    """Closed-form check of the (1,3,3,1)/8 tent on a delta image, and
+    flat-field preservation (kernel sums to 1, edge clamp included)."""
+    import numpy as np
+
+    from tilers_tools_ray import raster
+
+    tile = np.zeros((256, 256, 4), dtype=np.uint8)
+    flat = {(dx, dy): np.full((256, 256, 4), 200, np.uint8) for dx in (0, 1) for dy in (0, 1)}
+    out = raster.downsample_children(flat, mode="bilinear")
+    assert (out == 200).all()
+    # delta at mosaic position (10, 10) → parent (5, 5) block: weights
+    # (3*3, 3*1; 1*3, 1*1)/64 land at parents (4..5, 4..5)
+    d = {(0, 0): tile.copy()}
+    d[(0, 0)][10, 10, 0] = 64
+    out = raster.downsample_children(d, mode="bilinear")
+    # source index 10 is tap p[2i+2] for i=4 (w=3) and p[2i] for i=5 (w=1)
+    assert out[5, 5, 0] == round(64 * 9 / 64)
+    assert out[5, 4, 0] == round(64 * 3 / 64) and out[4, 5, 0] == round(64 * 3 / 64)
+    assert out[4, 4, 0] == round(64 * 1 / 64)

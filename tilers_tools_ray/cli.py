@@ -162,8 +162,9 @@ def build_parser():
     t.add_argument(
         "--overview-resampling",
         default="box",
-        choices=["box", "nearest"],
-        help="box = antialias-equivalent 2x2 mean (default)",
+        choices=["box", "nearest", "bilinear"],
+        help="box = antialias-equivalent 2x2 mean (default); "
+        "bilinear = PIL-style 4-tap tent",
     )
     t.add_argument(
         "--profile",

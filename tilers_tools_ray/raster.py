@@ -586,12 +586,34 @@ def downsample_children(children, mode="box"):
     round-half-up — the deterministic equivalent of the reference's
     antialias ×2 shrink for the exact-factor-2 case [C semantics].
     ``nearest``: top-left child pixel of each 2×2 (the reference's
-    --overview-resampling nearest)."""
+    --overview-resampling nearest).
+    ``bilinear``: PIL-style scaled tent for a ×2 shrink — support
+    widens with the factor, giving a separable 4-tap kernel
+    (1, 3, 3, 1)/8 per axis with edge-clamped borders (vs box's
+    2-tap (1, 1)/2); channels filtered independently, round-half-up.
+    The reference's 'antialias' mode equals ``box`` at the exact ×2
+    factor, so no separate mode is needed for it."""
     if mode == "nearest":
         mosaic = np.zeros((2 * TILE, 2 * TILE, 4), dtype=np.uint8)
         for (dx, dy), px in children.items():
             mosaic[dy * TILE : (dy + 1) * TILE, dx * TILE : (dx + 1) * TILE] = px
         return mosaic[0::2, 0::2].copy()
+    if mode == "bilinear":
+        mosaic = np.zeros((2 * TILE, 2 * TILE, 4), dtype=np.float32)
+        for (dx, dy), px in children.items():
+            mosaic[dy * TILE : (dy + 1) * TILE, dx * TILE : (dx + 1) * TILE] = px
+        pad = np.pad(mosaic, ((1, 1), (1, 1), (0, 0)), mode="edge")
+        # rows: out[i] = (p[2i] + 3p[2i+1] + 3p[2i+2] + p[2i+3]) / 8
+        rows = (
+            pad[0:-3:2] + 3.0 * pad[1:-2:2] + 3.0 * pad[2:-1:2] + pad[3::2]
+        )
+        cols = (
+            rows[:, 0:-3:2]
+            + 3.0 * rows[:, 1:-2:2]
+            + 3.0 * rows[:, 2:-1:2]
+            + rows[:, 3::2]
+        )
+        return np.clip(np.floor(cols / 64.0 + 0.5), 0, 255).astype(np.uint8)
     if mode != "box":
         raise ValueError(f"unknown overview resampling {mode!r}")
     mosaic = np.zeros((2 * TILE, 2 * TILE, 4), dtype=np.uint16)
