@@ -84,7 +84,7 @@ def run_bench(sf_dir, num_cpus):
     from tilers_tools_ray.relational import queries as q
 
     sf_tag = os.path.basename(os.path.normpath(sf_dir))
-    n = CORPUS_ROWS.get(sf_tag, 2000)
+    n = int(os.environ.get("TTR_BENCH_ROWS", "0")) or CORPUS_ROWS.get(sf_tag, 2000)
     paths = corpus.generate(
         f"/tmp/ttr_bench_v4_{n}",  # v4: OZF4 uint32 tile count
         scale="bench",
@@ -155,9 +155,11 @@ def run_bench(sf_dir, num_cpus):
     return result
 
 
-def run_subprocess(ncpu):
+def run_subprocess(ncpu, rows=None):
     # scaling compares the HEADLINE pipeline only — skip the query sweep
     env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), TTR_SKIP_QUERIES="1")
+    if rows:
+        env["TTR_BENCH_ROWS"] = str(rows)
     out = subprocess.run(
         [sys.executable, os.path.abspath(__file__)],
         env=env,
@@ -204,6 +206,38 @@ def main():
                     "repeats": repeats,
                     "tiles": tiles,
                     "sf": los[0]["sf"],
+                }
+            )
+        )
+        return
+    if "--sizes" in sys.argv:
+        # headline at TWO corpus sizes (median-of-3 each) so single-run
+        # outliers have printed context (BASELINE.md protocol); the
+        # quoted headline number is always a median-of-3
+        sizes = [
+            int(s)
+            for s in os.environ.get("TTR_BENCH_SIZES", "25000,100000").split(",")
+        ]
+        repeats = int(os.environ.get("TTR_SCALE_REPEATS", "3"))
+        out = {}
+        for rows in sizes:
+            runs = [run_subprocess(NUM_CPUS, rows=rows) for _ in range(repeats)]
+            vals = sorted(r["value"] for r in runs)
+            med = vals[len(runs) // 2]
+            out[str(rows)] = {
+                "sec_median": med,
+                "sec_all": [r["value"] for r in runs],
+                "tiles": runs[0]["tiles"],
+                "tiles_per_sec": round(runs[0]["tiles"] / med, 1),
+            }
+        print(
+            json.dumps(
+                {
+                    "metric": "headline_two_sizes",
+                    "unit": "sec",
+                    "num_cpus": NUM_CPUS,
+                    "repeats": repeats,
+                    "sizes": out,
                 }
             )
         )
