@@ -52,6 +52,34 @@ def test_sqlite_roundtrip(ray_session, tmp_path):
         assert np.array_equal(px, orig[row.tile_key])
 
 
+def test_gdbm_roundtrip(ray_session, tmp_path):
+    ds = _tiles_ds()
+    db = str(tmp_path / "tiles.gdbm")
+    n = tiledb.export_gdbm(ds, db, fmt="png")
+    assert n == 12
+    back = tiledb.read_gdbm(db)
+    df = back.to_pandas()
+    assert sorted(df["tile_key"]) == sorted(ds.to_pandas()["tile_key"])
+    assert (df["z"] == 6).all()  # zoom round-trips through the +1 key
+    orig = {
+        r["tile_key"]: tiling.unpack_pixels(r["pixels"]) for r in ds.take_all()
+    }
+    for row in df.itertuples(index=False):
+        px = codecs.decode_image(row.tile_bytes, row.fmt)
+        assert np.array_equal(px, orig[row.tile_key])
+
+
+def test_gdbm_rejects_corrupt_key(ray_session, tmp_path):
+    import dbm
+
+    db = str(tmp_path / "bad.gdbm")
+    with dbm.open(db, "n") as d:
+        d[b"meta:fmt"] = b"png"
+        d[b"shortkey"] = b"blob"
+    with pytest.raises(ValueError, match="corrupt gdbm tile key"):
+        tiledb.read_gdbm(db)
+
+
 def _images_batch(n=6):
     rows = {"image_id": [], "bytes": [], "fmt": []}
     rng = np.random.default_rng(9)

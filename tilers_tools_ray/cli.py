@@ -82,6 +82,9 @@ def cmd_convert(args):
     if args.src.endswith(".db"):
         tiles = tiledb.read_sqlite(args.src)
         tiles = tileset.decode_tree_tiles(tiles)
+    elif args.src.endswith(".gdbm"):
+        tiles = tiledb.read_gdbm(args.src)
+        tiles = tileset.decode_tree_tiles(tiles)
     elif args.from_layout:
         tiles = tileset.read_tile_tree(args.src, layout=args.from_layout)
         tiles = tileset.decode_tree_tiles(tiles)
@@ -92,6 +95,9 @@ def cmd_convert(args):
     if args.out.endswith(".db"):
         n = tiledb.export_sqlite(tiles, args.out, fmt=args.to_fmt)
         print(json.dumps({"tiles": n, "sink": "sqlite"}))
+    elif args.out.endswith(".gdbm"):
+        n = tiledb.export_gdbm(tiles, args.out, fmt=args.to_fmt)
+        print(json.dumps({"tiles": n, "sink": "gdbm"}))
     elif args.to_layout:
         meta = tileset.export_tree(
             tiles,

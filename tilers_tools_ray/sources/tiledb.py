@@ -1,8 +1,9 @@
-"""SQLite tile-DB source/sink (SURVEY.md §2 S8).
+"""SQLite and gdbm tile-DB sources/sinks (SURVEY.md §2 S8).
 
 The reference's ``tiles_convert.py`` supports SQLite tile caches
-(Maemo-Mapper layout: one table ``maps(zoom, x, y, tile BLOB)``)
-alongside directory trees [C semantics]. Engine equivalents:
+(Maemo-Mapper layout: one table ``maps(zoom, x, y, tile BLOB)``) and
+Maemo-Mapper **gdbm** key/value caches alongside directory trees
+[C semantics]. Engine equivalents:
 
   export_sqlite — tile Dataset → one SQLite file. SQLite is a
       single-writer store, so the sink deliberately funnels through
@@ -68,6 +69,104 @@ def export_sqlite(tiles_ds, db_path, *, fmt="png", batch_size=256):
     con.commit()
     con.close()
     return n
+
+
+_GDBM_META_PREFIX = b"meta:"
+
+
+def _dbm_open(path, flag):
+    """Open a key/value tile cache via the stdlib ``dbm`` family.
+
+    Upstream ``tiles_convert.py`` reads/writes Maemo-Mapper **gdbm**
+    caches [C semantics]. This container ships no ``_gdbm`` C module,
+    so ``dbm.open`` transparently falls back to the pure-Python
+    ``dbm.dumb`` backend — same key/value contract, different on-disk
+    bytes. Where ``dbm.gnu`` is importable it is used natively; the
+    layout code below is backend-agnostic by construction.
+    """
+    import dbm
+
+    return dbm.open(path, flag)
+
+
+def export_gdbm(tiles_ds, db_path, *, fmt="png", batch_size=256):
+    """Write tile rows into a gdbm-style key/value cache.
+
+    Key encoding follows the Maemo-Mapper convention the reference
+    converts from: ``struct.pack('>III', zoom + 1, x, y)`` (zoom is
+    stored off-by-one) [tiles_convert.py::gdbm layout, C semantics].
+    Self-description lives under ``meta:*`` string keys. Like the
+    SQLite sink this funnels through the driver (single-writer store;
+    an interchange format, not a data lake). Returns the tile count.
+    """
+    import struct
+
+    from .. import codecs
+    from ..stages import tiling
+
+    with _dbm_open(db_path, "n") as db:
+        db[b"meta:layout"] = b"maemo-gdbm"
+        db[b"meta:fmt"] = fmt.encode()
+        n = 0
+        for batch in tiles_ds.iter_batches(
+            batch_size=batch_size, batch_format="pyarrow"
+        ):
+            zs = batch.column("z").to_pylist()
+            xs = batch.column("x").to_pylist()
+            ys = batch.column("y").to_pylist()
+            if "tile_bytes" in batch.schema.names:
+                blobs = batch.column("tile_bytes").to_pylist()
+            else:
+                blobs = [
+                    codecs.encode_image(tiling.unpack_pixels(p), fmt)
+                    for p in batch.column("pixels").to_pylist()
+                ]
+            for z, x, y, blob in zip(zs, xs, ys, blobs):
+                db[struct.pack(">III", z + 1, x, y)] = blob
+                n += 1
+    return n
+
+
+def read_gdbm(db_path):
+    """gdbm-style tile cache → Dataset of (tile_key, z, x, y, tile_bytes, fmt).
+
+    Driver-side key scan (dbm stores are single-process); downstream
+    decode/transform stages run distributed, same shape as
+    ``read_sqlite``."""
+    import struct
+
+    import ray.data as rd
+
+    items = []
+    with _dbm_open(db_path, "r") as db:
+        raw_fmt = db.get(b"meta:fmt", b"png")
+        fmt = raw_fmt.decode()
+        if hasattr(db, "firstkey"):  # gdbm iteration protocol
+            keys, k = [], db.firstkey()
+            while k is not None:
+                keys.append(k)
+                k = db.nextkey(k)
+        else:  # dumb/ndbm expose keys() directly
+            keys = list(db.keys())
+        for key in keys:
+            if key.startswith(_GDBM_META_PREFIX):
+                continue
+            if len(key) != 12:
+                raise ValueError(f"corrupt gdbm tile key: {key!r}")
+            z1, x, y = struct.unpack(">III", key)
+            z = z1 - 1
+            items.append(
+                {
+                    "tile_key": int(tg.pack_key(z, x, y)),
+                    "z": z,
+                    "x": int(x),
+                    "y": int(y),
+                    "tile_bytes": bytes(db[key]),
+                    "fmt": fmt,
+                }
+            )
+    items.sort(key=lambda r: r["tile_key"])
+    return rd.from_items(items)
 
 
 def read_sqlite(db_path, chunk_rows=1024):
