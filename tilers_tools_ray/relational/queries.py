@@ -939,6 +939,31 @@ def tile_pyramid_stats_geodetic(sf_dir):
     return stats.sort_values("z").reset_index(drop=True)
 
 
+def tile_pyramid_stats_utm(sf_dir):
+    """Rows-only: base-tile stats over a deterministic UTM-meters
+    (EPSG:32633) images table — exercises the transverse-Mercator
+    warp path (upstream: GDAL arbitrary-SRS warp) in the driver
+    contract. Same fixture the golden byte-equality test uses."""
+    import pyarrow.parquet as pq
+
+    from .. import corpus
+    from ..pipelines import pyramid, tileset
+
+    out = "/tmp/ttr_utm_v1"
+    path = os.path.join(out, "images.parquet")
+    if not os.path.exists(path):
+        os.makedirs(out, exist_ok=True)
+        tmp = path + ".tmp"
+        pq.write_table(corpus.rows_to_table(corpus.utm_rows(n=12)), tmp)
+        os.replace(tmp, path)
+    base = pyramid.base_tiles(path)
+    stats = tileset.tileset_stats(base).to_pandas()
+    stats["z"] = stats["z"].astype("int64")
+    for c in ("n_tiles", "min_x", "max_x", "min_y", "max_y"):
+        stats[c] = stats[c].astype("int64")
+    return stats.sort_values("z").reset_index(drop=True)
+
+
 def spatial_join_images(sf_dir):
     import pyarrow.parquet as pq
 
@@ -1064,6 +1089,7 @@ QUERIES = {
     "embedding_dup_pairs": embedding_dup_pairs,
     "tile_pyramid_stats": tile_pyramid_stats,
     "tile_pyramid_stats_geodetic": tile_pyramid_stats_geodetic,
+    "tile_pyramid_stats_utm": tile_pyramid_stats_utm,
     "skew_census": skew_census,
     "spatial_join_images": spatial_join_images,
     "knn_nearest_regions": knn_nearest_regions,
