@@ -118,8 +118,11 @@ def cmd_map2gdal(args):
 
     from .stages import georef
 
+    order = args.gcp_order
+    if order in ("1", "2", "3"):
+        order = int(order)
     ds = rd.read_parquet(args.src, columns=["image_id", "georef_text"])
-    out = georef.attach_parsed_georef(ds)
+    out = georef.attach_parsed_georef(ds, order=order)
     out.write_parquet(args.out)
     print(json.dumps({"rows": out.count()}))
 
@@ -207,6 +210,13 @@ def build_parser():
     g = sub.add_parser("map2gdal", help="parse georef sidecars → columns")
     g.add_argument("--src", required=True)
     g.add_argument("--out", required=True)
+    g.add_argument(
+        "--gcp-order",
+        default="auto",
+        choices=["auto", "1", "2", "3", "tps"],
+        help="GCP solve: auto = affine with order-2 escalation on "
+        "residual; 1-3 = polynomial order; tps = thin-plate spline",
+    )
     g.set_defaults(fn=cmd_map2gdal)
 
     j = sub.add_parser("join", help="spatial join images × coverage")

@@ -63,22 +63,37 @@ def invert_gt(gt):
 
 
 # ---------------------------------------------------------------------------
-# order-2 polynomial GCP transform (M3 extension)
+# GCP warp transforms beyond affine (M3 extension)
 #
-# The reference handles ≥3 GCPs with GDAL's polynomial warps
-# (``gdal_translate -gcp`` + ``-order N`` in reader_backend.py's
-# MapTranslator path [R]); scanned paper charts need order 2. The
-# engine fits BOTH directions (pixel→world for footprints, world→pixel
-# for the warp) directly from the GCPs by normalized least squares —
-# no iterative inversion. Record layout (flat float64[32], stored as a
-# nullable list column next to the affine ``gt``):
+# The reference handles ≥3 GCPs with GDAL's polynomial (order 1–3)
+# and thin-plate-spline warps (``gdal_translate -gcp`` + ``-order N``
+# / ``-tps`` in reader_backend.py's MapTranslator path [R]); scanned
+# paper charts need order 2+, heavily warped scans need TPS. The
+# engine fits BOTH directions (pixel→world for footprints,
+# world→pixel for the warp) directly from the GCPs by normalized
+# least squares; the fitted inverse is then Newton-refined against
+# the exact forward model at apply time (GDAL's iterative inverter,
+# vectorized).
 #
-#   [0:4]   pixel normalization  (pcx, pcy, psx, psy)
-#   [4:16]  forward coeffs ax[6], ay[6] over basis (1, u, v, u², uv, v²)
-#           with u = (px−pcx)/psx, v = (py−pcy)/psy → (wx, wy)
-#   [16:20] world normalization  (wcx, wcy, wsx, wsy)
-#   [20:32] inverse coeffs bx[6], by[6] (same basis over normalized
-#           world) → (px, py)
+# All three transform kinds serialize to ONE flat float64 list (a
+# nullable list column next to the affine ``gt``), dispatched by
+# length — poly records are even-length, TPS records are odd:
+#
+#   poly order k (k=2: len 32, k=3: len 48), nb = 6 or 10 basis terms:
+#     [0:4]        pixel normalization (pcx, pcy, psx, psy)
+#     [4:4+2nb]    forward coeffs ax[nb], ay[nb] over the monomial
+#                  basis (1, u, v, u², uv, v², [u³, u²v, uv², v³])
+#                  with u = (px−pcx)/psx, v = (py−pcy)/psy → (wx, wy)
+#     [...:...+4]  world normalization (wcx, wcy, wsx, wsy)
+#     [...:end]    inverse coeffs bx[nb], by[nb] (same basis over
+#                  normalized world) → (px, py)
+#
+#   TPS with n centers (len 8n+21, always odd):
+#     [0]     n
+#     then per direction (forward = pixel→world, inverse reversed):
+#     norm[4], centers u[n], v[n] (normalized source coords),
+#     coefs cx[n+3], cy[n+3]  — f(x) = c0 + c1·u + c2·v + Σ wᵢ·φ(rᵢ),
+#     φ(r) = r² ln r (the biharmonic kernel; Bookstein 1989).
 #
 # Normalizing to ±O(1) before squaring keeps the normal equations
 # conditioned even for mercator-meter world coords (~1e7 raw, ~1e14
@@ -86,86 +101,300 @@ def invert_gt(gt):
 # ---------------------------------------------------------------------------
 
 POLY2_LEN = 32
+POLY3_LEN = 48
+_POLY_NB = {2: 6, 3: 10}
+_POLY_MIN_GCPS = {2: 6, 3: 10}
 
 
-def _poly2_basis(u, v):
-    return np.stack(
-        [np.ones_like(u), u, v, u * u, u * v, v * v], axis=-1
-    )
+def _poly_basis(u, v, order):
+    one = np.ones_like(u)
+    cols = [one, u, v, u * u, u * v, v * v]
+    if order == 3:
+        cols += [u * u * u, u * u * v, u * v * v, v * v * v]
+    return np.stack(cols, axis=-1)
 
 
-def _fit_poly2_dir(sx, sy, tx, ty):
-    """One direction: (sx, sy) → (tx, ty). Returns (norm[4], coef[12])."""
+def _poly_basis_du(u, v, order):
+    z = np.zeros_like(u)
+    cols = [z, np.ones_like(u), z, 2.0 * u, v, z]
+    if order == 3:
+        cols += [3.0 * u * u, 2.0 * u * v, v * v, z]
+    return np.stack(cols, axis=-1)
+
+
+def _poly_basis_dv(u, v, order):
+    z = np.zeros_like(u)
+    cols = [z, z, np.ones_like(u), z, u, 2.0 * v]
+    if order == 3:
+        cols += [z, u * u, 2.0 * u * v, 3.0 * v * v]
+    return np.stack(cols, axis=-1)
+
+
+def _norm_of(sx, sy):
     cx, cy = float(sx.mean()), float(sy.mean())
     scx = float(np.abs(sx - cx).max()) or 1.0
     scy = float(np.abs(sy - cy).max()) or 1.0
-    a = _poly2_basis((sx - cx) / scx, (sy - cy) / scy)
+    return cx, cy, scx, scy
+
+
+def _fit_poly_dir(sx, sy, tx, ty, order):
+    """One direction: (sx, sy) → (tx, ty). Returns (norm[4], coef[2nb])."""
+    cx, cy, scx, scy = _norm_of(sx, sy)
+    a = _poly_basis((sx - cx) / scx, (sy - cy) / scy, order)
     ctx, *_ = np.linalg.lstsq(a, tx, rcond=None)
     cty, *_ = np.linalg.lstsq(a, ty, rcond=None)
     return np.array([cx, cy, scx, scy]), np.concatenate([ctx, cty])
 
 
-def solve_poly2(px, py, wx, wy):
-    """Least-squares order-2 polynomial fit from ≥6 GCPs, both
-    directions. Returns the flat float64[POLY2_LEN] record above.
-    Raises ValueError below 6 GCPs (the quadratic is underdetermined —
-    callers fall back to solve_affine)."""
+def solve_poly(px, py, wx, wy, order=2):
+    """Least-squares order-2/3 polynomial fit, both directions.
+    Returns the flat float64 record above. Raises ValueError below
+    the minimum GCP count (6 for order 2, 10 for order 3 — the fit is
+    underdetermined; callers fall back to solve_affine)."""
+    if order not in _POLY_NB:
+        raise ValueError(f"polynomial order must be 2 or 3, got {order!r}")
     px = np.asarray(px, dtype=np.float64)
     py = np.asarray(py, dtype=np.float64)
     wx = np.asarray(wx, dtype=np.float64)
     wy = np.asarray(wy, dtype=np.float64)
-    if len(px) < 6:
-        raise ValueError("need ≥6 GCPs for an order-2 polynomial solve")
-    fn, fc = _fit_poly2_dir(px, py, wx, wy)
-    inorm, ic = _fit_poly2_dir(wx, wy, px, py)
+    need = _POLY_MIN_GCPS[order]
+    if len(px) < need:
+        raise ValueError(
+            f"need ≥{need} GCPs for an order-{order} polynomial solve"
+        )
+    fn, fc = _fit_poly_dir(px, py, wx, wy, order)
+    inorm, ic = _fit_poly_dir(wx, wy, px, py, order)
     return np.concatenate([fn, fc, inorm, ic])
 
 
-def _apply_poly2(norm, coef, x, y):
+def solve_poly2(px, py, wx, wy):
+    return solve_poly(px, py, wx, wy, order=2)
+
+
+def solve_poly3(px, py, wx, wy):
+    return solve_poly(px, py, wx, wy, order=3)
+
+
+def _record_kind(p):
+    """(kind, param) from a flat warp record: ('poly', order) or
+    ('tps', n_centers). Dispatch is by length — poly lengths are even
+    (32 / 48), TPS lengths 8n+21 are odd."""
+    n = len(p)
+    if n == POLY2_LEN:
+        return "poly", 2
+    if n == POLY3_LEN:
+        return "poly", 3
+    if n % 2 == 1 and n >= 53 and (n - 21) % 8 == 0:
+        return "tps", (n - 21) // 8
+    raise ValueError(f"unrecognized GCP warp record (len {n})")
+
+
+def _apply_poly(norm, coef, x, y, order):
+    nb = _POLY_NB[order]
     u = (np.asarray(x, dtype=np.float64) - norm[0]) / norm[2]
     v = (np.asarray(y, dtype=np.float64) - norm[1]) / norm[3]
-    b = _poly2_basis(u, v)
-    return b @ coef[:6], b @ coef[6:]
+    b = _poly_basis(u, v, order)
+    return b @ coef[:nb], b @ coef[nb:]
 
 
-def apply_poly2_fwd(p, px, py):
-    """pixel → world through a solve_poly2 record."""
-    p = np.asarray(p, dtype=np.float64)
-    return _apply_poly2(p[0:4], p[4:16], px, py)
-
-
-def apply_poly2_inv(p, wx, wy, refine=2):
-    """world → pixel through a solve_poly2 record.
-
-    The fitted inverse quadratic is only a model (the true inverse of
-    a quadratic is not one); it seeds ``refine`` Newton steps against
-    the FORWARD polynomial (analytic 2×2 Jacobian, vectorized), which
-    drive the residual to float noise — the same exactness GDAL's
-    iterative polynomial inverter provides. refine=0 gives the raw
-    fitted inverse."""
-    p = np.asarray(p, dtype=np.float64)
-    wx = np.asarray(wx, dtype=np.float64)
-    wy = np.asarray(wy, dtype=np.float64)
-    px, py = _apply_poly2(p[16:20], p[20:32], wx, wy)
+def _poly_inv_refined(p, wx, wy, order, refine):
+    nb = _POLY_NB[order]
+    k = 4 + 2 * nb
+    px, py = _apply_poly(p[k : k + 4], p[k + 4 :], wx, wy, order)
     if refine:
         pcx, pcy, psx, psy = p[0:4]
-        ax, ay = p[4:10], p[10:16]
+        ax, ay = p[4 : 4 + nb], p[4 + nb : 4 + 2 * nb]
         for _ in range(int(refine)):
             u = (px - pcx) / psx
             v = (py - pcy) / psy
-            b = _poly2_basis(u, v)
+            b = _poly_basis(u, v, order)
             fx = b @ ax - wx
             fy = b @ ay - wy
-            # d/du basis = (0, 1, 0, 2u, v, 0); d/dv = (0, 0, 1, 0, u, 2v)
-            j11 = (ax[1] + 2.0 * ax[3] * u + ax[4] * v) / psx
-            j12 = (ax[2] + ax[4] * u + 2.0 * ax[5] * v) / psy
-            j21 = (ay[1] + 2.0 * ay[3] * u + ay[4] * v) / psx
-            j22 = (ay[2] + ay[4] * u + 2.0 * ay[5] * v) / psy
+            bu = _poly_basis_du(u, v, order)
+            bv = _poly_basis_dv(u, v, order)
+            j11 = (bu @ ax) / psx
+            j12 = (bv @ ax) / psy
+            j21 = (bu @ ay) / psx
+            j22 = (bv @ ay) / psy
             det = j11 * j22 - j12 * j21
             det = np.where(np.abs(det) < 1e-30, 1e-30, det)
             px = px - (j22 * fx - j12 * fy) / det
             py = py - (j11 * fy - j21 * fx) / det
     return px, py
+
+
+# --- thin-plate spline ------------------------------------------------------
+
+#: per-chunk bound on (points × centers) pairwise work inside TPS
+#: evaluation — keeps the distance matrix ≤ ~32 MB however large the
+#: warp grid is (the caller's row-chunking bounds the OUTPUT, this
+#: bounds the INTERNAL temporary).
+_TPS_CHUNK_PAIRS = 4_000_000
+
+
+def _tps_phi(d2):
+    # φ(r) = r² ln r = ½ d² ln d²; φ(0) = 0 (limit)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        out = 0.5 * d2 * np.log(d2)
+    return np.where(d2 > 0.0, out, 0.0)
+
+
+def _fit_tps_dir(sx, sy, tx, ty):
+    """One TPS direction: (sx, sy) → (tx, ty).
+    Returns (norm[4], cu[n], cv[n], coefx[n+3], coefy[n+3])."""
+    cx, cy, scx, scy = _norm_of(sx, sy)
+    u = (sx - cx) / scx
+    v = (sy - cy) / scy
+    n = len(u)
+    d2 = (u[:, None] - u[None, :]) ** 2 + (v[:, None] - v[None, :]) ** 2
+    k = _tps_phi(d2)
+    pmat = np.stack([np.ones_like(u), u, v], axis=-1)  # n×3
+    a = np.zeros((n + 3, n + 3))
+    a[:n, :n] = k
+    a[:n, n:] = pmat
+    a[n:, :n] = pmat.T
+    rhs = np.zeros((n + 3, 2))
+    rhs[:n, 0] = tx
+    rhs[:n, 1] = ty
+    # lstsq (not solve): duplicate/collinear GCPs make A singular —
+    # the minimum-norm solution still interpolates the consistent ones
+    sol, *_ = np.linalg.lstsq(a, rhs, rcond=None)
+    wxc, wyc = sol[:, 0], sol[:, 1]
+    coefx = np.concatenate([wxc[n:], wxc[:n]])  # (a0,a1,a2, w…)
+    coefy = np.concatenate([wyc[n:], wyc[:n]])
+    return np.array([cx, cy, scx, scy]), u, v, coefx, coefy
+
+
+def solve_tps(px, py, wx, wy):
+    """Thin-plate-spline fit from ≥4 GCPs, both directions (upstream:
+    GDAL ``-tps``). The forward spline interpolates the GCPs exactly;
+    the stored inverse spline is a seed that ``apply_gcp_inv`` Newton-
+    refines against the forward model. Returns the flat float64
+    record documented above (len 8n+21)."""
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    wx = np.asarray(wx, dtype=np.float64)
+    wy = np.asarray(wy, dtype=np.float64)
+    if len(px) < 4:
+        raise ValueError("need ≥4 GCPs for a thin-plate-spline solve")
+    parts = [np.array([float(len(px))])]
+    for norm, u, v, cfx, cfy in (
+        _fit_tps_dir(px, py, wx, wy),
+        _fit_tps_dir(wx, wy, px, py),
+    ):
+        parts += [norm, u, v, cfx, cfy]
+    return np.concatenate(parts)
+
+
+def _tps_dir_slices(p, which):
+    """Unpack one direction of a TPS record: 0 = forward, 1 = inverse."""
+    n = int(p[0])
+    dlen = 4 * n + 10
+    base = 1 + which * dlen
+    norm = p[base : base + 4]
+    cu = p[base + 4 : base + 4 + n]
+    cv = p[base + 4 + n : base + 4 + 2 * n]
+    cfx = p[base + 4 + 2 * n : base + 7 + 3 * n]
+    cfy = p[base + 7 + 3 * n : base + 10 + 4 * n]
+    return norm, cu, cv, cfx, cfy
+
+
+def _apply_tps_dir(norm, cu, cv, cfx, cfy, x, y):
+    """Evaluate one TPS direction at flat float64 points, chunked so
+    the (points × centers) temporaries stay bounded."""
+    n = len(cu)
+    u = (x - norm[0]) / norm[2]
+    v = (y - norm[1]) / norm[3]
+    ox = np.empty_like(u)
+    oy = np.empty_like(u)
+    step = max(1, _TPS_CHUNK_PAIRS // max(n, 1))
+    for i0 in range(0, len(u), step):
+        i1 = min(len(u), i0 + step)
+        uu, vv = u[i0:i1], v[i0:i1]
+        d2 = (uu[:, None] - cu[None, :]) ** 2 + (vv[:, None] - cv[None, :]) ** 2
+        phi = _tps_phi(d2)
+        ox[i0:i1] = cfx[0] + cfx[1] * uu + cfx[2] * vv + phi @ cfx[3:]
+        oy[i0:i1] = cfy[0] + cfy[1] * uu + cfy[2] * vv + phi @ cfy[3:]
+    return ox, oy
+
+
+def _tps_inv_refined(p, wx, wy, refine):
+    norm_i, cu_i, cv_i, cfx_i, cfy_i = _tps_dir_slices(p, 1)
+    shape = wx.shape
+    wxf, wyf = wx.ravel(), wy.ravel()
+    px, py = _apply_tps_dir(norm_i, cu_i, cv_i, cfx_i, cfy_i, wxf, wyf)
+    if refine:
+        norm_f, cu, cv, cfx, cfy = _tps_dir_slices(p, 0)
+        pcx, pcy, psx, psy = norm_f
+        n = len(cu)
+        step = max(1, _TPS_CHUNK_PAIRS // max(n, 1))
+        for i0 in range(0, len(px), step):
+            i1 = min(len(px), i0 + step)
+            tx, ty = wxf[i0:i1], wyf[i0:i1]
+            cpx, cpy = px[i0:i1], py[i0:i1]
+            for _ in range(int(refine)):
+                u = (cpx - pcx) / psx
+                v = (cpy - pcy) / psy
+                du = u[:, None] - cu[None, :]
+                dv = v[:, None] - cv[None, :]
+                d2 = du * du + dv * dv
+                phi = _tps_phi(d2)
+                fx = cfx[0] + cfx[1] * u + cfx[2] * v + phi @ cfx[3:] - tx
+                fy = cfy[0] + cfy[1] * u + cfy[2] * v + phi @ cfy[3:] - ty
+                # ∂φ/∂u = (u−uᵢ)(ln d² + 1), limit 0 at d²=0
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    g = np.log(d2) + 1.0
+                g = np.where(d2 > 0.0, g, 0.0)
+                j11 = (cfx[1] + (du * g) @ cfx[3:]) / psx
+                j12 = (cfx[2] + (dv * g) @ cfx[3:]) / psy
+                j21 = (cfy[1] + (du * g) @ cfy[3:]) / psx
+                j22 = (cfy[2] + (dv * g) @ cfy[3:]) / psy
+                det = j11 * j22 - j12 * j21
+                det = np.where(np.abs(det) < 1e-30, 1e-30, det)
+                cpx = cpx - (j22 * fx - j12 * fy) / det
+                cpy = cpy - (j11 * fy - j21 * fx) / det
+            px[i0:i1], py[i0:i1] = cpx, cpy
+    return px.reshape(shape), py.reshape(shape)
+
+
+# --- generic record API (what raster.py / golden.py call) ------------------
+
+
+def apply_gcp_fwd(p, px, py):
+    """pixel → world through any GCP warp record (poly2/poly3/TPS)."""
+    p = np.asarray(p, dtype=np.float64)
+    kind, param = _record_kind(p)
+    if kind == "poly":
+        return _apply_poly(p[0:4], p[4 : 4 + 2 * _POLY_NB[param]], px, py, param)
+    norm, cu, cv, cfx, cfy = _tps_dir_slices(p, 0)
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    shape = px.shape
+    ox, oy = _apply_tps_dir(norm, cu, cv, cfx, cfy, px.ravel(), py.ravel())
+    return ox.reshape(shape), oy.reshape(shape)
+
+
+def apply_gcp_inv(p, wx, wy, refine=2):
+    """world → pixel through any GCP warp record.
+
+    The fitted inverse is only a model (the true inverse of a
+    polynomial/spline is not one of the same family); it seeds
+    ``refine`` Newton steps against the FORWARD model (analytic 2×2
+    Jacobian, vectorized), which drive the residual to float noise —
+    the same exactness GDAL's iterative inverter provides. refine=0
+    gives the raw fitted inverse."""
+    p = np.asarray(p, dtype=np.float64)
+    wx = np.asarray(wx, dtype=np.float64)
+    wy = np.asarray(wy, dtype=np.float64)
+    kind, param = _record_kind(p)
+    if kind == "poly":
+        return _poly_inv_refined(p, wx, wy, param, refine)
+    return _tps_inv_refined(p, wx, wy, refine)
+
+
+# kept as the historical names (older call sites / tests)
+apply_poly2_fwd = apply_gcp_fwd
+apply_poly2_inv = apply_gcp_inv
 
 
 # ---------------------------------------------------------------------------

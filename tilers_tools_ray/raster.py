@@ -144,12 +144,12 @@ def _edge_samples(w, h, n=17):
 def footprint_bbox_profile(gt, w, h, srs, profile="mercator", poly=None):
     """Footprint bbox in dest-profile units (meters or degrees).
     Corners are exact for affine+separable sources; tmerc and
-    polynomial (order-2 GCP) sources map straight edges to curves, so
+    GCP-warped (polynomial/TPS) sources map straight edges to curves, so
     their edges are sampled densely (the mid-edge bulge would
     otherwise clip footprint tiles)."""
     if poly is not None:
         px, py = _edge_samples(w, h)
-        wx, wy = geo.apply_poly2_fwd(poly, px, py)
+        wx, wy = geo.apply_gcp_fwd(poly, px, py)
     else:
         if _tmerc_of(srs) is not None:
             px, py = _edge_samples(w, h)
@@ -283,10 +283,10 @@ def _source_coords_tmerc(gt, tm, z, gx, gy, profile):
 
 
 def _source_coords_poly(poly, srs, z, gx, gy, profile):
-    """Dest global-pixel indices → source pixels through an order-2
-    GCP polynomial (geometry.solve_poly2 record). Quadratic cross
-    terms make the mapping non-axis-separable, so the full 2-D grid is
-    evaluated in row chunks (same memory bound as the tmerc path). The
+    """Dest global-pixel indices → source pixels through a GCP warp
+    record (order-2/3 polynomial or TPS — geometry.solve_poly /
+    solve_tps). The cross terms make the mapping non-axis-separable,
+    so the full 2-D grid is evaluated in row chunks (same memory bound as the tmerc path). The
     polynomial's world side is in SOURCE-SRS units, so the dest grid
     is first converted per srs (lonlat / merc / tmerc-forward)."""
     check_srs(srs)
@@ -322,7 +322,7 @@ def _source_coords_poly(poly, srs, z, gx, gy, profile):
         wy = np.broadcast_to(v1[r0:r1, None], (r1 - r0, nx))
         if tm is not None:  # grid is lonlat here; poly world is tmerc meters
             wx, wy = tm.forward(wx, wy)
-        px, py = geo.apply_poly2_inv(poly, wx, wy)
+        px, py = geo.apply_gcp_inv(poly, wx, wy)
         spx[r0:r1] = px
         spy[r0:r1] = py
     return spx, spy
@@ -486,7 +486,7 @@ def dest_pixel_window(gt, w, h, srs, z, margin=2, profile="mercator", poly=None)
     cross-SRS and polynomial-GCP sources."""
     edge_px, edge_py = _edge_samples(w, h, 65)
     if poly is not None:
-        wx, wy = geo.apply_poly2_fwd(poly, edge_px, edge_py)
+        wx, wy = geo.apply_gcp_fwd(poly, edge_px, edge_py)
     else:
         wx, wy = geo.apply_gt(np.asarray(gt, dtype=np.float64), edge_px, edge_py)
     wx, wy = _to_profile_units(wx, wy, srs, profile)

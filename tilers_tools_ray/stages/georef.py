@@ -51,18 +51,30 @@ GCP_POLY_RESIDUAL_PX = 0.5
 
 
 def solve_gcps(px, py, wx, wy, order="auto"):
-    """GCPs → (gt, poly): always the affine fit (M3), plus an order-2
-    polynomial record (geometry.solve_poly2) when ``order`` is 2, or
-    when ``order='auto'`` with ≥6 GCPs whose affine residual exceeds
-    GCP_POLY_RESIDUAL_PX source pixels — scanned charts with warped
-    paper. ``order=1`` forces affine-only."""
+    """GCPs → (gt, poly): always the affine fit (M3), plus a warp
+    record when the GCPs call for one — the full upstream
+    ``gdal_translate -gcp -order 1|2|3`` / ``-tps`` surface [R]:
+
+      order='auto'  order-2 refinement when ≥6 GCPs and the affine
+                    residual exceeds GCP_POLY_RESIDUAL_PX source px
+                    (scanned charts with warped paper)
+      order=1       affine-only
+      order=2 / 3   force that polynomial order (geometry.solve_poly)
+      order='tps'   thin-plate spline (geometry.solve_tps)
+
+    auto stays conservative (never escalates past order 2 on its own:
+    higher orders interpolate GCP noise unless explicitly asked for)."""
     px = np.asarray(px, dtype=np.float64)
     py = np.asarray(py, dtype=np.float64)
     wx = np.asarray(wx, dtype=np.float64)
     wy = np.asarray(wy, dtype=np.float64)
     gt = geo.solve_affine(px, py, wx, wy)
     poly = None
-    if order == 2 or (order == "auto" and len(px) >= 6):
+    if order == "tps":
+        poly = geo.solve_tps(px, py, wx, wy)
+    elif order == 3:
+        poly = geo.solve_poly(px, py, wx, wy, order=3)
+    elif order == 2 or (order == "auto" and len(px) >= 6):
         inv = geo.invert_gt(gt)
         rx = inv[0] + inv[1] * wx + inv[2] * wy - px
         ry = inv[3] + inv[4] * wx + inv[5] * wy - py
@@ -72,7 +84,7 @@ def solve_gcps(px, py, wx, wy, order="auto"):
     return gt, poly
 
 
-def parse_georef_text(text):
+def parse_georef_text(text, order="auto"):
     """One sidecar → (gt, srs, cutline ring, datum, poly). Raises
     ValueError on malformed input (tested contract). ``poly`` is the
     order-2 refinement record or None (see solve_gcps)."""
@@ -107,7 +119,7 @@ def parse_georef_text(text):
             ring.append((float(m.group(1)), float(m.group(2))))
     if len(px) < 3:
         raise ValueError("need ≥3 GCPs to solve an affine")
-    gt, poly = solve_gcps(px, py, wx, wy)
+    gt, poly = solve_gcps(px, py, wx, wy, order=order)
     return gt, srs, np.array(ring, dtype=np.float64), datum, poly
 
 
@@ -118,7 +130,7 @@ _KML_NAME_RE = re.compile(r"<name>\s*([^<]+?)\s*</name>")
 _KML_SIZE_RE = re.compile(r"<!--\s*size\s+(\d+)x(\d+)\s*-->")
 
 
-def parse_kml_groundoverlay(text):
+def parse_kml_groundoverlay(text, order="auto"):  # noqa: ARG001 — 4 exact corners; order is moot
     """KML GroundOverlay reader (reader_kml.py equivalent, S5 [R]):
     ``<LatLonBox>`` north/south/east/west (+rotation) → corner GCPs →
     affine in EPSG:4326. ``<rotation>`` follows the KML spec: degrees
@@ -159,7 +171,7 @@ _BSB_PLY_RE = re.compile(r"^PLY/\d+,([-\d.]+),([-\d.]+)\s*$")
 _BSB_GD_RE = re.compile(r"^KNP/.*GD=([^,]+)")
 
 
-def parse_bsb_header(text):
+def parse_bsb_header(text, order="auto"):
     """BSB/KAP chart-header reader (reader_bsb.py equivalent, S3 [C
     semantics]): ``REF/n,px,py,lat,lon`` GCP records → affine in
     EPSG:4326, ``PLY/n,px,py`` border polygon, ``KNP/...GD=`` datum
@@ -189,7 +201,7 @@ def parse_bsb_header(text):
     shift = DATUM_TABLE[datum]
     wx = np.asarray(wx) - shift[0]
     wy = np.asarray(wy) - shift[1]
-    gt, poly = solve_gcps(px, py, wx, wy)
+    gt, poly = solve_gcps(px, py, wx, wy, order=order)
     return gt, "EPSG:4326", np.array(ring, dtype=np.float64), datum, poly
 
 
@@ -200,7 +212,7 @@ _GEO_POINT_RE = re.compile(
 _GEO_VERTEX_RE = re.compile(r"^Vertex\d+$")
 
 
-def parse_geo_header(text):
+def parse_geo_header(text, order="auto"):
     """ChartWorld ``.geo`` header reader (reader_geo.py equivalent,
     S4 [C semantics]): ``Name = value`` records —
 
@@ -247,7 +259,8 @@ def parse_geo_header(text):
         raise ValueError("need ≥3 Point records to solve an affine")
     shift = DATUM_TABLE[datum]
     gt, poly = solve_gcps(
-        px, py, np.asarray(wx) - shift[0], np.asarray(wy) - shift[1]
+        px, py, np.asarray(wx) - shift[0], np.asarray(wy) - shift[1],
+        order=order,
     )
     return gt, srs, np.array(ring, dtype=np.float64), datum, poly
 
@@ -276,18 +289,19 @@ def sniff_format(text):
     raise ValueError("unrecognized georef sidecar format")
 
 
-def parse_georef_any(text):
-    return GEOREF_PARSERS[sniff_format(text)](text)
+def parse_georef_any(text, order="auto"):
+    return GEOREF_PARSERS[sniff_format(text)](text, order=order)
 
 
-def parse_georef_batch(batch: pa.Table) -> pa.Table:
+def parse_georef_batch(batch: pa.Table, order="auto") -> pa.Table:
     """images rows (image_id, georef_text) → parsed georef columns.
-    ``poly_parsed`` is null for affine-only sidecars."""
+    ``poly_parsed`` is null for affine-only sidecars; ``order`` is the
+    GCP solve policy (see solve_gcps: auto|1|2|3|'tps')."""
     ids = batch.column("image_id").to_pylist()
     texts = batch.column("georef_text").to_pylist()
     gts, srss, cuts, datums, polys = [], [], [], [], []
     for t in texts:
-        gt, srs, ring, datum, poly = parse_georef_any(t)
+        gt, srs, ring, datum, poly = parse_georef_any(t, order=order)
         gts.append(gt.tolist())
         srss.append(srs)
         cuts.append(raster.wkb_polygon(ring))
@@ -305,6 +319,9 @@ def parse_georef_batch(batch: pa.Table) -> pa.Table:
     )
 
 
-def attach_parsed_georef(images_ds):
+def attach_parsed_georef(images_ds, order="auto"):
     """Dataset stage: parse sidecars for every row (stateless tasks)."""
-    return images_ds.map_batches(parse_georef_batch, batch_format="pyarrow")
+    import functools
+
+    fn = functools.partial(parse_georef_batch, order=order)
+    return images_ds.map_batches(fn, batch_format="pyarrow")
