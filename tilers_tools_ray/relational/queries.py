@@ -1038,6 +1038,49 @@ def phash_dedup_images(sf_dir):
     return dedup.phash_dedup(ds)
 
 
+def multimodal_image_features(sf_dir):
+    """Rows-only: the multimodal actor-pool stage chain over the
+    engine corpus — resize (decode → box-downsample → re-encode) then
+    feature extraction (per-channel mean/std + phash). Exercises the
+    opaque-binary-column plumbing (schema, actor pools, batch sizing)
+    in the driver contract; the image codecs are real."""
+    from ..pipelines import pyramid
+    from ..stages import multimodal
+
+    paths = _corpus_for(sf_dir)
+    ds = pyramid.images_dataset(
+        paths["images"], columns=["image_id", "bytes", "fmt"]
+    )
+    # ONE actor pool (resize) + a STATELESS task stage (features):
+    # two chained pools each pin ≥1 actor CPU, which starves the
+    # upstream read on a 2-CPU cluster — the same deadlock shape
+    # pyramid.py avoids by capping pools at ncpu−1
+    small = ds.map_batches(
+        multimodal.ResizeImages,
+        fn_constructor_kwargs={"out_w": 32, "out_h": 32, "fmt": "raw"},
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=(1, 4),
+    )
+    feats = small.map_batches(
+        multimodal.ImageFeatures(),  # instance → task-based (no state)
+        batch_format="pyarrow",
+        batch_size=64,
+    )
+    df = feats.to_pandas()  # corpus-sized result (one row per image)
+    out = pd.DataFrame(
+        {
+            "image_id": df["image_id"],
+            "phash": df["phash"].astype("int64"),
+            # scalarize for a stable driver hash: feature-vector mean
+            "feat_mean": np.round(
+                df["features"].map(lambda v: float(np.mean(v))), 6
+            ),
+        }
+    )
+    return out.sort_values("image_id").reset_index(drop=True)
+
+
 def parse_georef_sidecars(sf_dir):
     from ..pipelines import pyramid
     from ..stages import georef
@@ -1094,6 +1137,7 @@ QUERIES = {
     "spatial_join_images": spatial_join_images,
     "knn_nearest_regions": knn_nearest_regions,
     "phash_dedup_images": phash_dedup_images,
+    "multimodal_image_features": multimodal_image_features,
     "parse_georef_sidecars": parse_georef_sidecars,
 }
 
