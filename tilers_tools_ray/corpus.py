@@ -348,14 +348,29 @@ def generate(out_dir, scale="tiny", seed=1234, n_rows=None, use_ray=False):
         tmp = images_path + ".tmp"
         ds.write_parquet(tmp)
         table = pq.read_table(tmp)
-        table = table.take(
-            pa.compute.sort_indices(table, sort_keys=[("image_id", "ascending")])
+        # take() on a chunked int32-offset binary column concatenates
+        # all chunks and overflows Arrow's 2 GiB offset limit (hit at
+        # the 100k-image bench corpus, ~2.7 GB of payload) — widen the
+        # payload column to large_binary (int64 offsets) for the gather
+        # and cast each written part back so the on-disk schema is
+        # byte-identical to the small-corpus path
+        schema_narrow = table.schema
+        bi = schema_narrow.get_field_index("bytes")
+        table = table.set_column(
+            bi,
+            pa.field("bytes", pa.large_binary()),
+            table.column("bytes").cast(pa.large_binary()),
+        )
+        idx = pa.compute.sort_indices(
+            table, sort_keys=[("image_id", "ascending")]
         )
         import shutil
 
         shutil.rmtree(tmp)
     else:
         table = rows_to_table([gen_row(i, seed, hot_pts, hot_w) for i in range(n)])
+        idx = None
+        schema_narrow = table.schema
     if multi:
         # deterministic multi-file layout → parallel reads downstream
         # (a single big parquet file reads as ONE serial Ray task)
@@ -365,12 +380,19 @@ def generate(out_dir, scale="tiny", seed=1234, n_rows=None, use_ray=False):
         for i in range(k):
             lo, hi = bounds[i], bounds[i + 1]
             if hi > lo:
+                part = (
+                    table.take(idx.slice(lo, hi - lo)).cast(schema_narrow)
+                    if idx is not None
+                    else table.slice(lo, hi - lo)
+                )
                 pq.write_table(
-                    table.slice(lo, hi - lo),
+                    part,
                     os.path.join(images_path, f"part-{i:04d}.parquet"),
                     row_group_size=max(100, (hi - lo) // 4),
                 )
     else:
+        if idx is not None:
+            table = table.take(idx)
         pq.write_table(table, images_path, row_group_size=max(100, n // 8))
     pq.write_table(gen_coverage(seed, n_regions), coverage_path)
     with open(done_marker, "w") as f:
