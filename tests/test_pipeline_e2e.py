@@ -237,3 +237,77 @@ def test_bilinear_downsample_kernel_math():
     assert out[5, 5, 0] == round(64 * 9 / 64)
     assert out[5, 4, 0] == round(64 * 3 / 64) and out[4, 5, 0] == round(64 * 3 / 64)
     assert out[4, 4, 0] == round(64 * 1 / 64)
+
+
+def test_lanczos_downsample_kernel_math():
+    """Scaled Lanczos-3 ×2 shrink: flat-field preservation, exact
+    linear-ramp reproduction (symmetric 12-tap kernel has zero first
+    moment), and distinctness from box on high-frequency content."""
+    import numpy as np
+
+    from tilers_tools_ray import raster
+
+    flat = {
+        (dx, dy): np.full((256, 256, 4), 137, np.uint8)
+        for dx in (0, 1)
+        for dy in (0, 1)
+    }
+    out = raster.downsample_children(flat, mode="lanczos")
+    assert (out == 137).all()
+    # true linear ramp along x: out col i centers at mosaic 2i+0.5
+    v = np.minimum(np.arange(512), 255).astype(np.uint8)
+    grad = np.tile(v[None, :, None], (512, 1, 4))
+    kids = {
+        (dx, dy): grad[dy * 256 : (dy + 1) * 256, dx * 256 : (dx + 1) * 256].copy()
+        for dx in (0, 1)
+        for dy in (0, 1)
+    }
+    lz = raster.downsample_children(kids, mode="lanczos").astype(int)
+    expect = np.minimum(2 * np.arange(256) + 1, 255)
+    assert np.abs(lz[8:-8, 8:120, 0] - expect[None, 8:120]).max() <= 1
+    # checkerboard (pure Nyquist): box averages to the midpoint
+    # everywhere; lanczos must differ somewhere (nonzero Nyquist leak)
+    cb = (np.indices((512, 512)).sum(0) % 2 * 255).astype(np.uint8)
+    cbm = np.repeat(cb[:, :, None], 4, axis=2)
+    kids = {
+        (dx, dy): cbm[dy * 256 : (dy + 1) * 256, dx * 256 : (dx + 1) * 256].copy()
+        for dx in (0, 1)
+        for dy in (0, 1)
+    }
+    lz = raster.downsample_children(kids, mode="lanczos")
+    bx = raster.downsample_children(kids, mode="box")
+    assert not np.array_equal(lz, bx)
+
+
+def test_overview_resampling_lanczos(ray_session, tiny_corpus, tmp_path):
+    """--overview-resampling lanczos end-to-end: every parent tile
+    equals the 12-tap scaled Lanczos-3 reduction of its children."""
+    import numpy as np
+
+    from tilers_tools_ray import raster
+    from tilers_tools_ray.pipelines import pyramid
+    from tilers_tools_ray.stages import tiling
+
+    out = str(tmp_path / "lz_pyr")
+    s = pyramid.write_pyramid(
+        tiny_corpus["images"], out, z_min=None or 7, salt=False,
+        overview_resampling="lanczos",
+    )
+    zs = sorted(s)
+    z_hi, z_lo = zs[-1], zs[-2]
+    base = pyramid.read_tiles(out, z=z_hi).to_pandas()
+    over = pyramid.read_tiles(out, z=z_lo).to_pandas().set_index(["x", "y"])
+    kids = {}
+    for row in base.itertuples(index=False):
+        kids.setdefault((row.x >> 1, row.y >> 1), {})[
+            (row.x & 1, row.y & 1)
+        ] = tiling.unpack_pixels(row.pixels)
+    checked = differs = 0
+    for (px, py), ch in kids.items():
+        expect = raster.downsample_children(ch, mode="lanczos")
+        got = tiling.unpack_pixels(over.loc[(px, py), "pixels"])
+        assert np.array_equal(got, expect)
+        if not np.array_equal(expect, raster.downsample_children(ch, mode="box")):
+            differs += 1
+        checked += 1
+    assert checked > 0 and differs > 0

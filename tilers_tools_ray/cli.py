@@ -171,9 +171,10 @@ def build_parser():
     t.add_argument(
         "--overview-resampling",
         default="box",
-        choices=["box", "nearest", "bilinear"],
+        choices=["box", "nearest", "bilinear", "lanczos"],
         help="box = antialias-equivalent 2x2 mean (default); "
-        "bilinear = PIL-style 4-tap tent",
+        "bilinear = PIL-style 4-tap tent; lanczos = 12-tap "
+        "scaled Lanczos-3",
     )
     t.add_argument(
         "--profile",

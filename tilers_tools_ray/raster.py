@@ -591,6 +591,10 @@ def downsample_children(children, mode="box"):
     widens with the factor, giving a separable 4-tap kernel
     (1, 3, 3, 1)/8 per axis with edge-clamped borders (vs box's
     2-tap (1, 1)/2); channels filtered independently, round-half-up.
+    ``lanczos``: Lanczos-3 scaled for the ×2 shrink — support widens
+    to a·factor = 6 input pixels each side, giving a separable 12-tap
+    windowed-sinc per axis (matching PIL's scaled-support LANCZOS
+    downscale); negative lobes clipped after the separable passes.
     The reference's 'antialias' mode equals ``box`` at the exact ×2
     factor, so no separate mode is needed for it."""
     if mode == "nearest":
@@ -614,6 +618,23 @@ def downsample_children(children, mode="box"):
             + rows[:, 3::2]
         )
         return np.clip(np.floor(cols / 64.0 + 0.5), 0, 255).astype(np.uint8)
+    if mode == "lanczos":
+        # out center (2i+1) in mosaic coords; taps j = 2i-5 .. 2i+6 at
+        # t = (j+0.5) - (2i+1) ∈ {-5.5 .. +5.5}; w(t) = sinc(t/2)·sinc(t/6)
+        t = np.arange(12, dtype=np.float64) - 5.5
+        w = np.sinc(t / 2.0) * np.sinc(t / 6.0)
+        w /= w.sum()
+        mosaic = np.zeros((2 * TILE, 2 * TILE, 4), dtype=np.float32)
+        for (dx, dy), px in children.items():
+            mosaic[dy * TILE : (dy + 1) * TILE, dx * TILE : (dx + 1) * TILE] = px
+        pad = np.pad(mosaic, ((5, 6), (5, 6), (0, 0)), mode="edge")
+        rows = np.zeros((TILE, pad.shape[1], 4), dtype=np.float32)
+        for k in range(12):
+            rows += np.float32(w[k]) * pad[k : k + 2 * TILE : 2]
+        cols = np.zeros((TILE, TILE, 4), dtype=np.float32)
+        for k in range(12):
+            cols += np.float32(w[k]) * rows[:, k : k + 2 * TILE : 2]
+        return np.clip(np.floor(cols + 0.5), 0, 255).astype(np.uint8)
     if mode != "box":
         raise ValueError(f"unknown overview resampling {mode!r}")
     mosaic = np.zeros((2 * TILE, 2 * TILE, 4), dtype=np.uint16)
