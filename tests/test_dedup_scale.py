@@ -409,3 +409,45 @@ def test_minhash_scale_smoke(ray_session):
     assert planted <= got, f"missed {planted - got}"
     assert (out["jaccard"] >= 0.85).all()
     assert wall < 120, f"bucketed LSH too slow at 8k docs: {wall:.1f}s"
+
+
+def test_phash_near_dup_pairs_pigeonhole(ray_session):
+    """Image near-dup via banded phash hamming: string ids flow through
+    the generic core, every pair within the distance is found
+    (pigeonhole completeness) and none outside it (exact verify)."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(17)
+    n = 150
+    base = rng.integers(0, 2**63, size=n, dtype=np.int64)
+    # plant near copies: flip <=6 random bits of a source phash
+    ids = [f"img-{i:05d}" for i in range(n)]
+    phashes = base.tolist()
+    for d in range(20):
+        src = int(rng.integers(0, n))
+        flips = rng.choice(64, size=int(rng.integers(1, 7)), replace=False)
+        h = int(base[src])
+        for f in flips:
+            h ^= 1 << int(f)
+        ids.append(f"img-{n + d:05d}")
+        h64 = h & (2**64 - 1)
+        phashes.append(h64 - 2**64 if h64 >= 2**63 else h64)
+    df = pd.DataFrame({"image_id": ids, "phash": np.array(phashes, dtype=np.int64)})
+    out = dedup.phash_near_dup_pairs(rd.from_pandas(df), max_hamming=6)
+    got = set(zip(out["image_a"], out["image_b"]))
+
+    hv = df["phash"].to_numpy().astype(np.uint64)
+    def ham(i, j):
+        return int(bin(int(hv[i] ^ hv[j])).count("1"))
+    m = len(df)
+    all_close = {
+        (ids[i], ids[j]) for i in range(m) for j in range(i + 1, m)
+        if ham(i, j) <= 6
+    }
+    assert got == all_close and len(all_close) >= 10
+    # string pair ordering: a < b lexicographically
+    assert all(a < b for a, b in got)
+    # reported hamming matches the exact distance
+    pos = {ids[i]: i for i in range(m)}
+    for r in out.itertuples(index=False):
+        assert r.hamming == ham(pos[r.image_a], pos[r.image_b])

@@ -160,11 +160,18 @@ def _distinct_pairs(pairs_ds, extra_cols=(), n_coarse=64):
     drop duplicates inside each group (vectorized)."""
 
     def key(batch: pd.DataFrame) -> pd.DataFrame:
-        a = batch["doc_a"].to_numpy(dtype=np.int64)
-        b = batch["doc_b"].to_numpy(dtype=np.int64)
         batch = batch.copy()
-        # deterministic wrap-around hash of the pair
-        batch["__pc"] = ((a * 1000003 + b) & _MASK63) % n_coarse
+        if pd.api.types.is_integer_dtype(batch["doc_a"]):
+            a = batch["doc_a"].to_numpy(dtype=np.int64)
+            b = batch["doc_b"].to_numpy(dtype=np.int64)
+            # deterministic wrap-around hash of the pair
+            batch["__pc"] = ((a * 1000003 + b) & _MASK63) % n_coarse
+        else:
+            # string ids (e.g. image_id): deterministic vectorized hash
+            ha = pd.util.hash_array(batch["doc_a"].to_numpy(dtype=object))
+            hb = pd.util.hash_array(batch["doc_b"].to_numpy(dtype=object))
+            pc = (ha * np.uint64(1000003) + hb) & np.uint64(_MASK63)
+            batch["__pc"] = pc.astype(np.int64) % n_coarse
         return batch.drop_duplicates(["doc_a", "doc_b"])
 
     def uniq(g: pd.DataFrame) -> pd.DataFrame:
@@ -378,33 +385,39 @@ def minhash_lsh_pairs(
 
 
 # ---------------------------------------------------------------------------
-# SimHash (bucketed, pigeonhole-complete banding)
+# banded-hamming near-dup core (SimHash text / phash image)
 # ---------------------------------------------------------------------------
 
 
-def simhash_pairs(docs_ds, *, max_hamming=3, concurrency=(1, 8), n_coarse=None):
-    """Near-dup pairs via 64-bit SimHash with ``max_hamming + 1``
+def hamming_band_pairs(
+    sig_ds,
+    *,
+    id_col="doc_id",
+    hash_col="simhash",
+    max_hamming=3,
+    n_coarse=None,
+    id_dtype="int64",
+):
+    """Generic 64-bit-signature near-dup pairs with ``max_hamming + 1``
     bit-slice bands: any pair within hamming ≤ h differs in ≤ h bands,
     so by pigeonhole it collides in at least one of h+1 bands —
-    complete recall at the configured distance (the earlier fixed 4×16
-    banding silently missed hamming 4-6 pairs). Exact hamming verify
+    complete recall at the configured distance. Exact hamming verify
     runs inside the bucket reduce (vectorized popcount), so precision
-    is exact. ``n_coarse=None`` derives the shuffle-bucket count from
-    corpus size (see _adaptive_coarse). Returns (doc_a, doc_b,
-    hamming), doc_a < doc_b, sorted."""
+    is exact. ``sig_ds`` carries (``id_col``, ``hash_col`` int64 bit
+    pattern); ids may be int64 or strings (pass ``id_dtype="object"``
+    for string ids like image_id). ``n_coarse=None`` derives the
+    shuffle-bucket count from corpus size (see _adaptive_coarse).
+    Returns (doc_a, doc_b, hamming), doc_a < doc_b, sorted — callers
+    rename the id columns."""
     n_bands = int(max_hamming) + 1
     if n_coarse is None:
-        n_coarse = _adaptive_coarse(docs_ds.count() * n_bands)
+        n_coarse = _adaptive_coarse(sig_ds.count() * n_bands)
     edges = np.linspace(0, 64, n_bands + 1).astype(np.int64)
     widths = np.diff(edges)
-    sigs = docs_ds.map_batches(
-        T.SimHasher, batch_format="pandas", batch_size=1024, concurrency=concurrency
-    )
 
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
-        h = batch["simhash"].to_numpy(dtype=np.int64).astype(np.uint64)
-        n = len(h)
-        doc = batch["doc_id"].to_numpy(dtype=np.int64)
+        h = batch[hash_col].to_numpy(dtype=np.int64).astype(np.uint64)
+        doc = batch[id_col].to_numpy()
         frames = []
         for band in range(n_bands):
             chunk = (
@@ -417,29 +430,29 @@ def simhash_pairs(docs_ds, *, max_hamming=3, concurrency=(1, 8), n_coarse=None):
                         "band": np.int64(band),
                         "band_hash": chunk,
                         "doc_id": doc,
-                        "simhash": h.astype(np.int64),
+                        "sig": h.astype(np.int64),
                         "__coarse": ((chunk * 131 + band) & _MASK63) % n_coarse,
                     }
                 )
             )
         return pd.concat(frames, ignore_index=True)
 
-    exploded = sigs.map_batches(explode, batch_format="pandas")
+    exploded = sig_ds.map_batches(explode, batch_format="pandas")
 
     def pair_kernel(g: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
             {
-                "doc_a": pd.array([], dtype="int64"),
-                "doc_b": pd.array([], dtype="int64"),
+                "doc_a": pd.array([], dtype=id_dtype),
+                "doc_b": pd.array([], dtype=id_dtype),
                 "hamming": pd.array([], dtype="int64"),
             }
         )
-        out = _pairs_in_buckets(g, ("band", "band_hash"), carry_cols=("simhash",))
+        out = _pairs_in_buckets(g, ("band", "band_hash"), carry_cols=("sig",))
         if out is None:
             return empty
         x = (
-            out["simhash_a"].to_numpy(dtype=np.int64)
-            ^ out["simhash_b"].to_numpy(dtype=np.int64)
+            out["sig_a"].to_numpy(dtype=np.int64)
+            ^ out["sig_b"].to_numpy(dtype=np.int64)
         ).astype(np.uint64)
         ham = (
             np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1)
@@ -458,12 +471,49 @@ def simhash_pairs(docs_ds, *, max_hamming=3, concurrency=(1, 8), n_coarse=None):
     if len(df) == 0:
         return pd.DataFrame(
             {
-                "doc_a": pd.array([], dtype="int64"),
-                "doc_b": pd.array([], dtype="int64"),
+                "doc_a": pd.array([], dtype=id_dtype),
+                "doc_b": pd.array([], dtype=id_dtype),
                 "hamming": pd.array([], dtype="int64"),
             }
         )
     return df.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+def simhash_pairs(docs_ds, *, max_hamming=3, concurrency=(1, 8), n_coarse=None):
+    """Near-dup TEXT pairs via 64-bit SimHash signatures (actor-pool
+    hasher) through the pigeonhole-complete banded core above (the
+    earlier fixed 4×16 banding silently missed hamming 4-6 pairs).
+    Returns (doc_a, doc_b, hamming), doc_a < doc_b, sorted."""
+    sigs = docs_ds.map_batches(
+        T.SimHasher, batch_format="pandas", batch_size=1024, concurrency=concurrency
+    )
+    return hamming_band_pairs(
+        sigs,
+        id_col="doc_id",
+        hash_col="simhash",
+        max_hamming=max_hamming,
+        n_coarse=n_coarse,
+    )
+
+
+def phash_near_dup_pairs(images_ds, *, max_hamming=6, n_coarse=None):
+    """Near-dup IMAGE pairs: perceptual-hash hamming ≤ k through the
+    same banded core (k+1 bit-slice bands of the 64-bit phash →
+    pigeonhole-complete recall, exact popcount verify). Complements
+    ``phash_dedup``'s exact-match grouping — catches re-encoded /
+    slightly-retouched copies whose phash differs in a few bits.
+    Shuffles (image_id, phash) only; pixels never move. Returns
+    (image_a, image_b, hamming), image_a < image_b, sorted."""
+    slim = images_ds.select_columns(["image_id", "phash"])
+    df = hamming_band_pairs(
+        slim,
+        id_col="image_id",
+        hash_col="phash",
+        max_hamming=max_hamming,
+        n_coarse=n_coarse,
+        id_dtype="object",
+    )
+    return df.rename(columns={"doc_a": "image_a", "doc_b": "image_b"})
 
 
 def _block_of(ids, n_blocks):

@@ -1038,6 +1038,16 @@ def phash_dedup_images(sf_dir):
     return dedup.phash_dedup(ds)
 
 
+def phash_near_dup_images(sf_dir):
+    """Near-duplicate image pairs at phash hamming ≤ 6 via the banded
+    pigeonhole core (rows-only: LSH banding is not SQL-expressible)."""
+    from ..pipelines import pyramid
+
+    paths = _corpus_for(sf_dir)
+    ds = pyramid.images_dataset(paths["images"], columns=["image_id", "phash"])
+    return dedup.phash_near_dup_pairs(ds, max_hamming=6)
+
+
 def multimodal_image_features(sf_dir):
     """Rows-only: the multimodal actor-pool stage chain over the
     engine corpus — resize (decode → box-downsample → re-encode) then
@@ -1137,6 +1147,7 @@ QUERIES = {
     "spatial_join_images": spatial_join_images,
     "knn_nearest_regions": knn_nearest_regions,
     "phash_dedup_images": phash_dedup_images,
+    "phash_near_dup_images": phash_near_dup_images,
     "multimodal_image_features": multimodal_image_features,
     "parse_georef_sidecars": parse_georef_sidecars,
 }
