@@ -26,6 +26,13 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+# NOTE: intra-package imports used inside WORKER-executed functions
+# must live at module top, not inside the function: the driver contract
+# ships this package to workers via cloudpickle
+# register_pickle_by_value (workers may have no importable copy), which
+# covers globals of pickled functions but NOT imports executed at call
+# time on the worker (ModuleNotFoundError under a path-less driver).
+from .. import raster
 from .. import tilegrid as tg
 from ..stages import tiling
 from ..state import lineage
@@ -100,8 +107,6 @@ def images_dataset(images_path, columns=None, num_blocks=None):
 def _effective_res(batch: pa.Table, profile="mercator") -> pa.Table:
     """Per-image source resolution in dest-PROFILE units (meters for
     mercator, degrees for geodetic)."""
-    from .. import raster
-
     gts = batch.column("gt").to_pylist()
     srs = batch.column("srs").to_pylist()
     res = np.empty(len(gts))

@@ -19,14 +19,13 @@ import pyarrow as pa
 
 from .. import geometry as geo
 from .. import raster
+from .. import tilegrid as tg
 
 
 def centroids_merc(batch: pa.Table):
     """Footprint centroids (mercator) for a batch of image rows —
     mean of the 4 projected corners, in ONE batched affine broadcast
     (gt is a fixed 6-vector per row; no per-row Python loop)."""
-    from .. import tilegrid as tg
-
     g = np.array(batch.column("gt").to_pylist(), dtype=np.float64)  # (n, 6)
     w = np.asarray(batch.column("w").to_numpy(), dtype=np.float64)
     h = np.asarray(batch.column("h").to_numpy(), dtype=np.float64)
