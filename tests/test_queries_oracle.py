@@ -69,6 +69,8 @@ def test_entry_smoke(ray_session):
         "q3_top_revenue_orders",
         "q5_nation_revenue",
         "top_orders_by_price",
+        "top_orders_per_segment",
+        "sample_documents_hash",
         "segment_stats",
         "events_hourly",
         "events_sessionize",
@@ -114,6 +116,7 @@ def test_oracle_match(registry, name):
         "spatial_join_images",
         "knn_nearest_regions",
         "phash_dedup_images",
+        "phash_near_dup_images",
         "parse_georef_sidecars",
     ],
 )
@@ -160,3 +163,116 @@ def test_ivf_recall_vs_brute(registry):
     a = set(zip(approx["query_id"], approx["vec_id"]))
     recall = len(e & a) / len(e)
     assert recall >= 0.5, f"IVF recall {recall:.2f} vs brute force too low"
+
+
+def test_grouped_topk_matches_pandas(ray_session):
+    """ops.grouped_topk (per-batch combiner + grouped merge) equals a
+    plain pandas groupby-head on shuffled multi-block input, with
+    deterministic tiebreak and correct per-group ranks."""
+    import numpy as np
+    import ray.data as rd
+
+    from tilers_tools_ray.relational import ops
+
+    rng = np.random.default_rng(21)
+    n = 5000
+    df = pd.DataFrame(
+        {
+            "g": rng.integers(0, 40, n),
+            "v": rng.integers(0, 50, n).astype("float64"),  # many ties
+            "id": rng.permutation(n).astype("int64"),
+        }
+    )
+    ds = rd.from_pandas(df).repartition(13)
+    got = (
+        _to_pandas(ops.grouped_topk(ds, "g", "v", 5, tie_col="id"))
+        .sort_values(["g", "rk"])
+        .reset_index(drop=True)[["g", "v", "id", "rk"]]
+    )
+    exp = (
+        df.sort_values(["v", "id"], ascending=[False, True])
+        .groupby("g", sort=False)
+        .head(5)
+        .sort_values(["g", "v", "id"], ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+    exp["rk"] = exp.groupby("g").cumcount() + 1
+    pd.testing.assert_frame_equal(
+        got, exp[["g", "v", "id", "rk"]], check_dtype=False
+    )
+
+
+def test_hash_sample_block_layout_invariant(ray_session):
+    """The multiplicative-hash sample is a pure row predicate: the
+    same rows are kept regardless of block layout, and the rate is
+    ~10%."""
+    import numpy as np
+    import ray.data as rd
+
+    from tilers_tools_ray.relational.queries import (
+        _SAMPLE_MULT,
+        _SAMPLE_THRESHOLD,
+    )
+
+    ids = np.arange(100_000, dtype=np.uint64)
+    keyed = ids * np.uint64(_SAMPLE_MULT)
+    keep = keyed < np.uint64(_SAMPLE_THRESHOLD)
+    rate = keep.mean()
+    assert 0.095 < rate < 0.105
+    # block-layout invariance: predicate result is identical per row
+    # whether evaluated in 1 block or 17
+    df = pd.DataFrame({"doc_id": ids.astype("int64")})
+    import pyarrow as pa
+
+    def pick(t: pa.Table) -> pa.Table:
+        u = t.column("doc_id").to_numpy().astype(np.uint64)
+        return t.filter(pa.array(u * np.uint64(_SAMPLE_MULT) < np.uint64(_SAMPLE_THRESHOLD)))
+
+    one = rd.from_pandas(df).map_batches(pick, batch_format="pyarrow").to_pandas()
+    many = (
+        rd.from_pandas(df)
+        .repartition(17)
+        .map_batches(pick, batch_format="pyarrow")
+        .to_pandas()
+    )
+    assert sorted(one["doc_id"]) == sorted(many["doc_id"])
+    assert len(one) == int(keep.sum())
+
+
+def test_workers_need_no_import_path():
+    """Driver-contract regression: the driver imports __ray_entry__ via
+    a bare sys.path entry (no PYTHONPATH), so Ray workers may have NO
+    importable copy of the package — everything worker-side must arrive
+    via cloudpickle register_pickle_by_value. A lazy `from .. import
+    raster` inside a worker-executed function broke exactly this
+    (ModuleNotFoundError on 6 driver queries); keep such imports at
+    module top. Runs a corpus pyramid query from /tmp in a clean env."""
+    import subprocess
+    import sys
+
+    code = (
+        "import sys; sys.path.insert(0, '/root/repo')\n"
+        "import ray\n"
+        "ray.init(address='local', num_cpus=4, include_dashboard=False,\n"
+        "         logging_level='ERROR')\n"
+        "import __ray_entry__ as e\n"
+        "out = e.queries()['tile_pyramid_stats']('/root/testdata/sf0.001')\n"
+        "assert len(out) >= 1\n"
+        "out2 = e.queries()['spatial_join_images']('/root/testdata/sf0.001')\n"
+        "print('OK', len(out), len(out2))\n"
+        "ray.shutdown()\n"
+    )
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if k not in ("PYTHONPATH",)
+    }
+    r = subprocess.run(
+        [sys.executable, "-c", code],
+        cwd="/tmp",
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=420,
+    )
+    assert r.returncode == 0 and "OK" in r.stdout, r.stderr[-2000:]

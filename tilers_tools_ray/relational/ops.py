@@ -201,3 +201,31 @@ def topk(ds, by, k, descending=True, tie_col=None):
     pruned = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
     out = pruned.sort(cols, descending=[descending] + [False] * (len(cols) - 1))
     return out.limit(k)
+
+
+def grouped_topk(ds, group_col, by, k, descending=True, tie_col=None):
+    """Per-GROUP top-k with a combiner: each batch first keeps at most
+    k rows per group (vectorized sort + groupby head — no Python loop),
+    so the grouped merge only shuffles ≤ k × n_groups × n_blocks rows;
+    the full table is never globally sorted. The merge stays a Ray
+    groupby (distributed), so group count can be huge (per-user top-k)
+    without a driver materialization. Adds a 1-based ``rk`` rank column
+    per group. Deterministic via ``tie_col``."""
+    cols = [by] + ([tie_col] if tie_col else [])
+    asc = [not descending] + [True] * (len(cols) - 1)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch.sort_values(cols, ascending=asc)
+        return s.groupby(group_col, sort=False).head(k)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.sort_values(cols, ascending=asc).head(k).copy()
+        s["rk"] = np.arange(1, len(s) + 1, dtype=np.int64)
+        return s
+
+    pruned = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+    # pin the (shrunk) partial before the grouped merge — Ray 2.49
+    # chained-all-to-all pathology (see dedup.exact_dedup)
+    return pruned.materialize().groupby(group_col).map_groups(
+        final, batch_format="pandas"
+    )

@@ -236,6 +236,75 @@ ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
 """
 
 
+def top_orders_per_segment(sf_dir):
+    """Per-GROUP top-k (grouped combiner, ops.grouped_topk): the 3
+    highest-value orders in each market segment. Broadcast
+    customer→segment lookup (no shuffle), per-batch group-wise head
+    bounds the grouped merge to k × segments × blocks rows — the
+    orders table is never globally sorted."""
+    cust = (
+        ops.read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+        .to_pandas()
+        .rename(columns={"c_custkey": "o_custkey"})
+    )
+    orders = ops.read(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+    joined = ops.broadcast_join(orders, cust, on="o_custkey")
+    top = ops.grouped_topk(
+        joined, "c_mktsegment", "o_totalprice", 3, tie_col="o_orderkey"
+    )
+    df = top.select_columns(
+        ["c_mktsegment", "o_orderkey", "o_totalprice", "rk"]
+    ).to_pandas()
+    return df.sort_values(["c_mktsegment", "rk"]).reset_index(drop=True)
+
+
+TOP_PER_SEGMENT_SQL = """
+SELECT c_mktsegment, o_orderkey, o_totalprice, rk FROM (
+  SELECT c_mktsegment, o_orderkey, o_totalprice,
+         row_number() OVER (
+           PARTITION BY c_mktsegment
+           ORDER BY o_totalprice DESC, o_orderkey
+         ) AS rk
+  FROM orders JOIN customer ON o_custkey = c_custkey
+) WHERE rk <= 3
+ORDER BY c_mktsegment, rk
+"""
+
+# 2^64/φ (splitmix/Fibonacci multiplier) and floor(2^64 / 10)
+_SAMPLE_MULT = 11400714819323198485
+_SAMPLE_THRESHOLD = 1844674407370955161
+
+
+def sample_documents_hash(sf_dir):
+    """Deterministic distributed sampling (O3 at scale): keep the ~10%
+    of documents whose multiplicative hash (doc_id · 2⁶⁴/φ mod 2⁶⁴)
+    lands below 2⁶⁴/10. Stateless and vectorized — the sample is
+    reproducible on any cluster topology / block layout (unlike
+    seeded per-block RNG), mergeable across runs, and SQL-expressible
+    (HUGEINT math) for a bit-exact oracle."""
+    import pyarrow as pa
+
+    docs = ops.read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+
+    def pick(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy().astype(np.uint64)
+        keyed = ids * np.uint64(_SAMPLE_MULT)  # wraps mod 2^64
+        return t.filter(pa.array(keyed < np.uint64(_SAMPLE_THRESHOLD)))
+
+    out = docs.map_batches(pick, batch_format="pyarrow")
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+SAMPLE_DOCS_SQL = f"""
+SELECT doc_id, lang, n_chars FROM documents
+WHERE (doc_id::HUGEINT * {_SAMPLE_MULT}) % 18446744073709551616
+      < {_SAMPLE_THRESHOLD}
+ORDER BY doc_id
+"""
+
+
 def segment_stats(sf_dir):
     cust = ops.read(sf_dir, "customer", columns=["c_mktsegment", "c_acctbal"])
     from ray.data.aggregate import Count, Max, Mean, Min
@@ -1119,6 +1188,8 @@ QUERIES = {
     "q3_top_revenue_orders": q3_top_revenue_orders,
     "q5_nation_revenue": q5_nation_revenue,
     "top_orders_by_price": top_orders_by_price,
+    "top_orders_per_segment": top_orders_per_segment,
+    "sample_documents_hash": sample_documents_hash,
     "segment_stats": segment_stats,
     "events_hourly": events_hourly,
     "events_sessionize": events_sessionize,
@@ -1157,6 +1228,8 @@ ORACLES = {
     "q3_top_revenue_orders": Q3_SQL,
     "q5_nation_revenue": Q5_SQL,
     "top_orders_by_price": TOP_ORDERS_SQL,
+    "top_orders_per_segment": TOP_PER_SEGMENT_SQL,
+    "sample_documents_hash": SAMPLE_DOCS_SQL,
     "segment_stats": SEGMENT_SQL,
     "events_hourly": EVENTS_HOURLY_SQL,
     "events_sessionize": SESSIONIZE_SQL,
