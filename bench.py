@@ -47,6 +47,9 @@ BENCH_QUERIES = [
     "embedding_dup_pairs",
     "spatial_join_images",
     "phash_dedup_images",
+    "phash_near_dup_images",
+    "top_orders_per_segment",
+    "sample_documents_hash",
 ]
 
 CORPUS_ROWS = {"sf0.1": 25000, "sf0.01": 2000, "sf0.001": 400}

@@ -451,3 +451,37 @@ def test_phash_near_dup_pairs_pigeonhole(ray_session):
     pos = {ids[i]: i for i in range(m)}
     for r in out.itertuples(index=False):
         assert r.hamming == ham(pos[r.image_a], pos[r.image_b])
+
+
+def test_hamming_blocks_scheme_equals_bands(ray_session):
+    """The Manku-style 2-of-(h+2) block-combination banding (the
+    ≥100k-doc auto path) returns EXACTLY the pairs of the h+1
+    bit-slice banding — both are complete by pigeonhole and both
+    verify with exact popcount, so only bucket sizes differ."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(31)
+    n = 300
+    base = rng.integers(0, 2**63, size=n, dtype=np.int64)
+    ids = [f"d{i:05d}" for i in range(n)]
+    ph = base.tolist()
+    for d in range(30):
+        src = int(rng.integers(0, n))
+        h = int(base[src])
+        for f in rng.choice(64, size=int(rng.integers(1, 7)), replace=False):
+            h ^= 1 << int(f)
+        h &= 2**64 - 1
+        ids.append(f"d{n + d:05d}")
+        ph.append(h - 2**64 if h >= 2**63 else h)
+    df = pd.DataFrame({"image_id": ids, "phash": np.array(ph, dtype=np.int64)})
+    kw = dict(id_col="image_id", hash_col="phash", max_hamming=6, id_dtype="object")
+    a = dedup.hamming_band_pairs(
+        __import__("ray").data.from_pandas(df), scheme="bands", **kw
+    )
+    b = dedup.hamming_band_pairs(
+        __import__("ray").data.from_pandas(df), scheme="blocks", **kw
+    )
+    assert len(a) >= 20
+    pd.testing.assert_frame_equal(
+        a.reset_index(drop=True), b.reset_index(drop=True)
+    )

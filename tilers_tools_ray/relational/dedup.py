@@ -389,6 +389,50 @@ def minhash_lsh_pairs(
 # ---------------------------------------------------------------------------
 
 
+def _band_keys(h, max_hamming, scheme):
+    """Vectorized (band_id, key) streams for one batch of uint64
+    signatures under either pigeonhole scheme. Yields (band, key)
+    int64-array pairs; both schemes give COMPLETE recall at
+    hamming ≤ h.
+
+    ``bands``: h+1 contiguous bit slices — ≤h flips damage ≤h slices,
+    so one slice matches exactly. Cheapest explode (h+1 rows/doc) but
+    slice width 64/(h+1) → collision rate 2^-width; at h=6 that is
+    9-bit keys = n/512 docs per bucket, quadratic blowup at ~10⁶ docs.
+    ``blocks`` (Manku et al., WWW'07 §3): k = h+2 contiguous blocks,
+    one key per 2-block SUBSET (C(k,2) rows/doc). ≤h flips damage ≤h
+    blocks, so ≥2 blocks stay intact and some subset matches exactly.
+    Key width ≈ 2·64/k bits (16 at h=6) → collision rate 2^-16,
+    which keeps bucket sizes ~n/65536 at web scale for the cost of a
+    4× wider explode."""
+    if scheme == "bands":
+        n_bands = int(max_hamming) + 1
+        edges = np.linspace(0, 64, n_bands + 1).astype(np.int64)
+        widths = np.diff(edges)
+        for band in range(n_bands):
+            key = (
+                (h >> np.uint64(edges[band]))
+                & np.uint64((1 << int(widths[band])) - 1)
+            ).astype(np.int64)
+            yield band, key
+        return
+    assert scheme == "blocks"
+    k = int(max_hamming) + 2
+    edges = np.linspace(0, 64, k + 1).astype(np.int64)
+    widths = np.diff(edges)
+    blocks = [
+        (
+            (h >> np.uint64(edges[b])) & np.uint64((1 << int(widths[b])) - 1)
+        ).astype(np.int64)
+        for b in range(k)
+    ]
+    band = 0
+    for i in range(k):
+        for j in range(i + 1, k):
+            yield band, (blocks[i] << np.int64(widths[j])) | blocks[j]
+            band += 1
+
+
 def hamming_band_pairs(
     sig_ds,
     *,
@@ -397,41 +441,44 @@ def hamming_band_pairs(
     max_hamming=3,
     n_coarse=None,
     id_dtype="int64",
+    scheme="auto",
 ):
-    """Generic 64-bit-signature near-dup pairs with ``max_hamming + 1``
-    bit-slice bands: any pair within hamming ≤ h differs in ≤ h bands,
-    so by pigeonhole it collides in at least one of h+1 bands —
-    complete recall at the configured distance. Exact hamming verify
-    runs inside the bucket reduce (vectorized popcount), so precision
-    is exact. ``sig_ds`` carries (``id_col``, ``hash_col`` int64 bit
-    pattern); ids may be int64 or strings (pass ``id_dtype="object"``
-    for string ids like image_id). ``n_coarse=None`` derives the
-    shuffle-bucket count from corpus size (see _adaptive_coarse).
-    Returns (doc_a, doc_b, hamming), doc_a < doc_b, sorted — callers
-    rename the id columns."""
-    n_bands = int(max_hamming) + 1
+    """Generic 64-bit-signature near-dup pairs via pigeonhole banding
+    (see :func:`_band_keys` for the two complete-recall schemes).
+    Exact hamming verify runs inside the bucket reduce (vectorized
+    popcount), so precision is exact and the OUTPUT is identical under
+    either scheme — only bucket sizes differ. ``scheme="auto"`` picks
+    ``bands`` (cheap explode) below 100k docs and ``blocks``
+    (collision-proof keys) above. ``sig_ds`` carries (``id_col``,
+    ``hash_col`` int64 bit pattern); ids may be int64 or strings (pass
+    ``id_dtype="object"`` for string ids like image_id).
+    ``n_coarse=None`` derives the shuffle-bucket count from corpus
+    size (see _adaptive_coarse). Returns (doc_a, doc_b, hamming),
+    doc_a < doc_b, sorted — callers rename the id columns."""
+    n_docs = sig_ds.count()
+    if scheme == "auto":
+        scheme = "blocks" if n_docs >= 100_000 else "bands"
+    rows_per_doc = (
+        int(max_hamming) + 1
+        if scheme == "bands"
+        else (int(max_hamming) + 2) * (int(max_hamming) + 1) // 2
+    )
     if n_coarse is None:
-        n_coarse = _adaptive_coarse(sig_ds.count() * n_bands)
-    edges = np.linspace(0, 64, n_bands + 1).astype(np.int64)
-    widths = np.diff(edges)
+        n_coarse = _adaptive_coarse(n_docs * rows_per_doc)
 
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
         h = batch[hash_col].to_numpy(dtype=np.int64).astype(np.uint64)
         doc = batch[id_col].to_numpy()
         frames = []
-        for band in range(n_bands):
-            chunk = (
-                (h >> np.uint64(edges[band]))
-                & np.uint64((1 << int(widths[band])) - 1)
-            ).astype(np.int64)
+        for band, key in _band_keys(h, max_hamming, scheme):
             frames.append(
                 pd.DataFrame(
                     {
                         "band": np.int64(band),
-                        "band_hash": chunk,
+                        "band_hash": key,
                         "doc_id": doc,
                         "sig": h.astype(np.int64),
-                        "__coarse": ((chunk * 131 + band) & _MASK63) % n_coarse,
+                        "__coarse": ((key * 131 + band) & _MASK63) % n_coarse,
                     }
                 )
             )
