@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "phash_near_dup_images",
     "top_orders_per_segment",
     "sample_documents_hash",
+    "part_heavy_hitters",
 ]
 
 CORPUS_ROWS = {"sf0.1": 25000, "sf0.01": 2000, "sf0.001": 400}

@@ -71,6 +71,7 @@ def test_entry_smoke(ray_session):
         "top_orders_by_price",
         "top_orders_per_segment",
         "sample_documents_hash",
+        "part_heavy_hitters",
         "segment_stats",
         "events_hourly",
         "events_sessionize",
@@ -276,3 +277,64 @@ def test_workers_need_no_import_path():
         timeout=420,
     )
     assert r.returncode == 0 and "OK" in r.stdout, r.stderr[-2000:]
+
+
+def test_heavy_hitters_zipf_certifies(ray_session):
+    """On skewed (zipf) data the MG sketch certifies: the k-th exact
+    candidate count exceeds the accumulated decrement bound, so the
+    sketch path alone provably returns the exact top-k — asserted
+    against a plain pandas groupby."""
+    import numpy as np
+    import ray.data as rd
+
+    from tilers_tools_ray.relational import ops
+
+    rng = np.random.default_rng(3)
+    vals = rng.zipf(1.3, size=200_000)
+    vals = vals[vals < 100_000].astype("int64")
+    df = pd.DataFrame({"key": vals})
+    ds = rd.from_pandas(df).repartition(9)
+    got, cert = ops.heavy_hitters(
+        ds, "key", k=10, capacity=512, return_certified=True
+    )
+    assert cert, "zipf data with small key space must certify"
+    exp = (
+        df.groupby("key", as_index=False)
+        .size()
+        .rename(columns={"size": "cnt"})
+        .sort_values(["cnt", "key"], ascending=[False, True])
+        .head(10)
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp[["key", "cnt"]], check_dtype=False)
+
+
+def test_heavy_hitters_uniform_falls_back_exact(ray_session):
+    """Uniform high-cardinality data cannot certify at a small
+    capacity — the operator must detect that (certified False) and
+    still return the exact answer via the full-aggregation fallback."""
+    import numpy as np
+    import ray.data as rd
+
+    from tilers_tools_ray.relational import ops
+
+    rng = np.random.default_rng(4)
+    # very flat (~2 occurrences/key) across MANY batches: the k-th
+    # true count (~8) is below both decrement bounds (>=1 cut per
+    # batch x 15 batches, and (n - S)/(capacity+1) ~ 900)
+    vals = rng.integers(0, 30_000, size=60_000).astype("int64")
+    df = pd.DataFrame({"key": vals})
+    ds = rd.from_pandas(df).repartition(16)
+    got, cert = ops.heavy_hitters(
+        ds, "key", k=10, capacity=64, batch_size=4096, return_certified=True
+    )
+    assert not cert, "flat multi-batch data at capacity 64 must not certify"
+    exp = (
+        df.groupby("key", as_index=False)
+        .size()
+        .rename(columns={"size": "cnt"})
+        .sort_values(["cnt", "key"], ascending=[False, True])
+        .head(10)
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp[["key", "cnt"]], check_dtype=False)

@@ -229,3 +229,111 @@ def grouped_topk(ds, group_col, by, k, descending=True, tie_col=None):
     return pruned.materialize().groupby(group_col).map_groups(
         final, batch_format="pandas"
     )
+
+
+def heavy_hitters(
+    ds, col, k=10, capacity=4096, batch_size=65536, return_certified=False
+):
+    """Exact top-k most frequent values via a mergeable Misra-Gries
+    sketch with an exact-verify pass (certified-or-fallback).
+
+    Pass 1: each batch reduces to its value counts, locally cut to
+    ``capacity`` entries the MG way (subtract the (capacity+1)-th
+    count ``cut_b``, drop non-positives). The driver merges
+    ≤ (capacity+1) × batches partial rows — bounded regardless of key
+    cardinality — and applies one final MG cut. The undercount of ANY
+    value (hence the true count of any value absent from the sketch)
+    is bounded by BOTH of (a) ``Σ cut_b + cut_final`` — a value loses
+    at most ``cut`` per cut it passes through (kept: count − cut;
+    dropped: its count was ≤ cut) — and (b) the mergeable-summaries
+    bound ``(n − S) / (capacity + 1)`` with S the mass retained in the
+    final sketch (Agarwal et al., TODS'13: MG summaries merge with
+    this error under any merge tree). (a) wins at few batches, (b) at
+    web scale where cuts are many but each tiny; ``delta`` is their
+    min.
+    Pass 2: broadcast the ≤ capacity candidates, exact-count them with
+    a filtered per-batch partial + tiny driver merge.
+    If the k-th exact candidate count is > delta, no non-candidate can
+    reach the top k, so the result is PROVABLY exact. Otherwise the
+    data was not skewed enough for this capacity and we fall back to
+    the exact full pre-aggregation (O(distinct × blocks) driver merge
+    — the documented cost, correctness never depends on skew).
+    Returns (col, cnt) sorted cnt desc then col asc; with
+    ``return_certified`` also returns whether the sketch certified."""
+    import ray
+
+    sentinel_col, cnt_col = "__hh_key", "__hh_cnt"
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        vc = batch[col].value_counts()
+        keys = vc.index.to_numpy()
+        cnts = vc.to_numpy().astype("int64")
+        cut = 0
+        if len(keys) > capacity:
+            cut = int(cnts[capacity])  # counts sorted desc by value_counts
+            kept = cnts[:capacity] - cut
+            pos = kept > 0
+            if pos.any():
+                keys, cnts = keys[:capacity][pos], kept[pos]
+            else:
+                # uniform batch: keep the top key at count 0 so the
+                # cut has a row to ride on (harmless extra candidate)
+                keys, cnts = keys[:1], np.zeros(1, dtype=np.int64)
+        out = pd.DataFrame({sentinel_col: keys, cnt_col: cnts})
+        # per-batch cut + row count on the first row (key dtype stays pure)
+        d = np.zeros(len(out), dtype=np.int64)
+        d[0] = cut
+        out["__hh_cut"] = d
+        d2 = np.zeros(len(out), dtype=np.int64)
+        d2[0] = len(batch)
+        out["__hh_n"] = d2
+        return out
+
+    sk = ds.map_batches(
+        partial, batch_format="pandas", batch_size=batch_size
+    ).to_pandas()
+    sum_cuts = int(sk["__hh_cut"].sum())
+    n_total = int(sk["__hh_n"].sum())
+    merged = sk.groupby(sentinel_col, as_index=False, sort=False)[cnt_col].sum()
+    merged = merged.sort_values(cnt_col, ascending=False)
+    if len(merged) > capacity:
+        cut = int(merged[cnt_col].iloc[capacity])
+        merged = merged.head(capacity).copy()
+        merged[cnt_col] -= cut
+        merged = merged[merged[cnt_col] > 0]
+        sum_cuts += cut
+    stored = int(merged[cnt_col].sum())
+    delta = min(sum_cuts, (n_total - stored) // (capacity + 1))
+    candidates = merged[sentinel_col].to_numpy()
+
+    # pass 2: exact counts of the candidate set only
+    cand_ref = ray.put(set(candidates.tolist()))
+
+    class ExactCount:
+        def __init__(self):
+            self.cand = ray.get(cand_ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            b = batch[batch[col].isin(self.cand)]
+            vc = b[col].value_counts()
+            return pd.DataFrame(
+                {col: vc.index.to_numpy(), "cnt": vc.to_numpy().astype("int64")}
+            )
+
+    exact = (
+        ds.map_batches(
+            ExactCount, batch_format="pandas", batch_size=65536, concurrency=(1, 8)
+        )
+        .to_pandas()
+        .groupby(col, as_index=False, sort=False)["cnt"]
+        .sum()
+    )
+    exact = exact.sort_values(["cnt", col], ascending=[False, True]).head(k)
+    certified = len(exact) >= k and int(exact["cnt"].iloc[-1]) > delta
+    if not certified:
+        # not enough skew for this capacity — exact full aggregation
+        full = preagg_sum_count_df(ds, [col], [], count_alias="cnt")
+        exact = full.sort_values(["cnt", col], ascending=[False, True]).head(k)
+    out = exact.reset_index(drop=True)
+    out["cnt"] = out["cnt"].astype("int64")
+    return (out, certified) if return_certified else out

@@ -305,6 +305,26 @@ ORDER BY doc_id
 """
 
 
+def part_heavy_hitters(sf_dir):
+    """Top-10 most-ordered parts via the mergeable Misra-Gries sketch
+    with exact-verify (ops.heavy_hitters): driver memory stays
+    O(capacity) regardless of key cardinality, the candidate set is
+    exact-counted in a second bounded pass, and the result is either
+    PROVABLY exact (k-th count > accumulated decrement bound) or
+    recomputed by full pre-aggregation — so it always equals the
+    groupby-count oracle."""
+    li = ops.read(sf_dir, "lineitem", columns=["l_partkey"])
+    out = ops.heavy_hitters(li, "l_partkey", k=10, capacity=4096)
+    out["l_partkey"] = out["l_partkey"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+HEAVY_HITTERS_SQL = """
+SELECT l_partkey, count(*) AS cnt FROM lineitem
+GROUP BY l_partkey ORDER BY cnt DESC, l_partkey LIMIT 10
+"""
+
+
 def segment_stats(sf_dir):
     cust = ops.read(sf_dir, "customer", columns=["c_mktsegment", "c_acctbal"])
     from ray.data.aggregate import Count, Max, Mean, Min
@@ -1190,6 +1210,7 @@ QUERIES = {
     "top_orders_by_price": top_orders_by_price,
     "top_orders_per_segment": top_orders_per_segment,
     "sample_documents_hash": sample_documents_hash,
+    "part_heavy_hitters": part_heavy_hitters,
     "segment_stats": segment_stats,
     "events_hourly": events_hourly,
     "events_sessionize": events_sessionize,
@@ -1230,6 +1251,7 @@ ORACLES = {
     "top_orders_by_price": TOP_ORDERS_SQL,
     "top_orders_per_segment": TOP_PER_SEGMENT_SQL,
     "sample_documents_hash": SAMPLE_DOCS_SQL,
+    "part_heavy_hitters": HEAVY_HITTERS_SQL,
     "segment_stats": SEGMENT_SQL,
     "events_hourly": EVENTS_HOURLY_SQL,
     "events_sessionize": SESSIONIZE_SQL,
