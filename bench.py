@@ -51,6 +51,9 @@ BENCH_QUERIES = [
     "top_orders_per_segment",
     "sample_documents_hash",
     "part_heavy_hitters",
+    "q10_returned_items",
+    "customer_order_windows",
+    "embedding_lsh_dups",
 ]
 
 CORPUS_ROWS = {"sf0.1": 25000, "sf0.01": 2000, "sf0.001": 400}

@@ -68,6 +68,7 @@ def test_entry_smoke(ray_session):
         "q1_pricing_summary",
         "q3_top_revenue_orders",
         "q5_nation_revenue",
+        "q10_returned_items",
         "top_orders_by_price",
         "top_orders_per_segment",
         "sample_documents_hash",
@@ -77,6 +78,7 @@ def test_entry_smoke(ray_session):
         "events_sessionize",
         "events_sliding_window",
         "events_asof_last_click",
+        "customer_order_windows",
         "brand_volume",
         "orders_price_band_join",
         "order_price_quantiles",
@@ -111,6 +113,7 @@ def test_oracle_match(registry, name):
         "simhash_near_dups",
         "dedup_clean_corpus",
         "ivf_ann_topk",
+        "embedding_lsh_dups",
         "tile_pyramid_stats",
         "tile_pyramid_stats_geodetic",
         "skew_census",
@@ -154,6 +157,21 @@ def test_langid_heuristic_on_real_language():
     lid = LangId()
     for lang, sent in samples.items():
         assert lid.predict_one(sent) == lang, f"misidentified {lang}"
+
+
+def test_embedding_lsh_planted_recall(registry):
+    """The LSH query plants 20 near-copies (cos ≈ 0.9998); the
+    hyperplane-signature path must recover exactly those pairs —
+    full recall at near-dup similarity, zero false positives at 0.95
+    on otherwise-random embeddings."""
+    qs, _ = registry
+    df = _to_pandas(qs["embedding_lsh_dups"](SF))
+    pairs = set(zip(df["vec_a"], df["vec_b"]))
+    expected = {(i, i + 1_000_000) for i in range(20)}
+    assert pairs == expected, (
+        f"missing={expected - pairs} extra={pairs - expected}"
+    )
+    assert (df["score"] >= 0.95).all()
 
 
 def test_ivf_recall_vs_brute(registry):

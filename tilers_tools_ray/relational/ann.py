@@ -207,6 +207,152 @@ def ivf_topk(
     return _finalize_topk(partials, k)
 
 
+class HyperplaneHasher:
+    """Random-hyperplane LSH signatures (Charikar, STOC'02): ``n_words``
+    64-bit words per vector, bit b = sign(v · h_b) for seeded gaussian
+    hyperplanes. P[bit differs] = θ/π for a pair at angle θ, so
+    signature hamming distance is a binomial estimator of the angle.
+    The hyperplane matrix is built once per actor on the first batch
+    (dimension inferred; deterministic from the seed, so every actor
+    builds the identical matrix)."""
+
+    def __init__(self, n_words=2, seed=7):
+        self.n_words = int(n_words)
+        self.seed = int(seed)
+        self.h = None
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        vecs = _normalize(np.stack(batch["embedding"].to_numpy()))
+        d = vecs.shape[1]
+        if self.h is None or self.h.shape[0] != d:
+            rng = np.random.default_rng(self.seed)
+            self.h = rng.standard_normal((d, 64 * self.n_words))
+        bits = (vecs @ self.h) >= 0.0
+        packed = np.packbits(bits, axis=1)  # (n, 8 * n_words) uint8
+        out = {"vec_id": batch["vec_id"].to_numpy(dtype=np.int64)}
+        for w in range(self.n_words):
+            word = np.ascontiguousarray(packed[:, w * 8 : (w + 1) * 8])
+            out[f"lsh{w}"] = word.view(np.int64).ravel()  # bit-preserving
+        return pd.DataFrame(out)
+
+
+def embedding_lsh_dup_pairs(
+    emb_ds,
+    threshold=0.95,
+    max_word_hamming=8,
+    n_words=2,
+    seed=7,
+    verify_limit=2_000_000,
+    concurrency=(1, 8),
+):
+    """Embedding near-dup pairs via random-hyperplane LSH — the
+    APPROXIMATE scale path complementing :func:`embedding_cosine_dup_pairs`
+    (which is exact but scores every surviving IVF sub-block pair).
+
+    Pipeline: hyperplane signatures (actor pool, one streaming pass)
+    → per-word pigeonhole banded hamming pairs (``dedup.hamming_band_pairs``
+    — complete recall at word-hamming ≤ ``max_word_hamming``, the blocks
+    scheme keeps band keys ~13 bits wide at scale) → union across words
+    → exact-cosine verify of the candidates (semi-filtered vector fetch
+    by candidate id — the embedding table is never broadcast or
+    collected; ≤ 2 × n_candidates vectors leave the table).
+
+    Precision is EXACT (float64 cosine verify); recall is probabilistic
+    in the signature layer: a pair at angle θ has per-word hamming
+    ~ Binomial(64, θ/π), so P[found] = 1 − (1 − P[X ≤ h])^n_words —
+    ≈ 0.96 at cos 0.95 and ≈ 0.999 at cos ≥ 0.98 with the defaults.
+    Returns (vec_a, vec_b, score), vec_a < vec_b, sorted."""
+    import ray
+
+    from . import dedup as D
+
+    sigs = emb_ds.map_batches(
+        HyperplaneHasher,
+        fn_constructor_kwargs={"n_words": n_words, "seed": seed},
+        batch_format="pandas",
+        batch_size=4096,
+        concurrency=concurrency,
+    ).materialize()  # consumed once per word by the banding passes
+
+    frames = []
+    for w in range(n_words):
+        f = D.hamming_band_pairs(
+            sigs,
+            id_col="vec_id",
+            hash_col=f"lsh{w}",
+            max_hamming=max_word_hamming,
+        )
+        if len(f):
+            frames.append(f[["doc_a", "doc_b"]])
+    empty = pd.DataFrame(
+        {
+            "vec_a": pd.array([], dtype="int64"),
+            "vec_b": pd.array([], dtype="int64"),
+            "score": pd.array([], dtype="float64"),
+        }
+    )
+    if not frames:
+        return empty
+    cands = pd.concat(frames, ignore_index=True).drop_duplicates(
+        ["doc_a", "doc_b"]
+    )
+    if len(cands) > verify_limit:
+        raise ValueError(
+            f"{len(cands)} LSH candidates exceed verify_limit="
+            f"{verify_limit}; tighten max_word_hamming or use the exact "
+            "embedding_cosine_dup_pairs path"
+        )
+
+    # exact verify: fetch ONLY the candidate vectors (semi-filter by
+    # broadcast id set — no shuffle, table never collected)
+    wanted = np.union1d(cands["doc_a"].to_numpy(), cands["doc_b"].to_numpy())
+    wref = ray.put(wanted)
+
+    class SemiVecs:
+        def __init__(self):
+            self.ids = ray.get(wref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            hit = b[np.isin(b["vec_id"].to_numpy(dtype=np.int64), self.ids)]
+            if len(hit) == 0:
+                return pd.DataFrame(
+                    {
+                        "vec_id": pd.array([], dtype="int64"),
+                        "vec": pd.array([], dtype=object),
+                    }
+                )
+            m = _normalize(np.stack(hit["embedding"].to_numpy()))
+            return pd.DataFrame(
+                {
+                    "vec_id": hit["vec_id"].to_numpy(dtype=np.int64),
+                    "vec": [v.tobytes() for v in m],
+                }
+            )
+
+    matched = (
+        emb_ds.map_batches(
+            SemiVecs, batch_format="pandas", batch_size=4096, concurrency=2
+        ).to_pandas()  # ≤ 2 × n_cands rows (post-LSH, bounded above)
+    )
+    order = np.argsort(matched["vec_id"].to_numpy(dtype=np.int64))
+    ids_sorted = matched["vec_id"].to_numpy(dtype=np.int64)[order]
+    mat = np.frombuffer(
+        b"".join(matched["vec"].to_numpy()[order]), dtype=np.float64
+    ).reshape(len(ids_sorted), -1)
+    a = cands["doc_a"].to_numpy(dtype=np.int64)
+    b = cands["doc_b"].to_numpy(dtype=np.int64)
+    va = mat[np.searchsorted(ids_sorted, a)]
+    vb = mat[np.searchsorted(ids_sorted, b)]
+    score = np.einsum("ij,ij->i", va, vb)
+    keep = score >= threshold
+    if not keep.any():
+        return empty
+    a, b, score = a[keep], b[keep], score[keep]
+    lo, hi = np.minimum(a, b), np.maximum(a, b)
+    out = pd.DataFrame({"vec_a": lo, "vec_b": hi, "score": np.round(score, 6)})
+    return out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+
+
 def embedding_cosine_dup_pairs(
     emb_ds,
     threshold=0.98,

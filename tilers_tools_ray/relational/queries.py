@@ -216,6 +216,130 @@ GROUP BY n_name ORDER BY n_name
 """
 
 
+def q10_returned_items(sf_dir):
+    """TPC-H Q10 shape: revenue lost to returned items, per customer,
+    global top-20 — a 4-table join (lineitem ⋈ orders ⋈ customer ⋈
+    nation). Join strategy sized per table: lineitem revenue is
+    pre-aggregated per ORDER inside map_batches before any exchange
+    (combiner), the order→customer hop is a distributed hash join of
+    the two already-reduced sides, the per-customer reduce is another
+    pre-aggregated groupby, and only the final 20 rows touch the
+    customer/nation dimensions (semi-filtered fetch — the customer
+    table is never broadcast or collected)."""
+    import pyarrow.compute as pc
+
+    li = ops.read(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
+    )
+    li_r = li.map_batches(
+        lambda t: t.filter(pc.equal(t["l_returnflag"], "R")),
+        batch_format="pyarrow",
+    )
+
+    def enrich(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "l_orderkey": b["l_orderkey"],
+                "revenue": b["l_extendedprice"] * (1 - b["l_discount"]),
+            }
+        )
+
+    # combiner: per-batch partial per-order sums (one row per
+    # batch×order reaches the join — NOT a full grouped aggregate:
+    # Ray's grouped aggregate has per-group overhead that is
+    # pathological at 10⁵+ distinct keys, and partial rows join to the
+    # same customer anyway)
+    def partial_rev(b: pd.DataFrame) -> pd.DataFrame:
+        b = enrich(b)
+        b["n_items"] = 1
+        return b.groupby("l_orderkey", as_index=False, sort=False).agg(
+            revenue=("revenue", "sum"), n_items=("n_items", "size")
+        )
+
+    partials = li_r.map_batches(
+        partial_rev, batch_format="pandas", batch_size=131072
+    )
+    orders = ops.read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    joined = ops.hash_join(
+        partials, orders, on="l_orderkey", right_on="o_orderkey",
+        num_partitions=16,
+    )
+    # customer reduce + per-bucket partial top-20: coarse-key by
+    # hash(custkey) so each customer lands wholly in one group and the
+    # reduce is vectorized ACROSS customers (the _user_bucketed trick);
+    # a per-bucket top-20 is a valid partial for the global top-20.
+    from .dedup import _adaptive_coarse
+
+    n_buckets = _adaptive_coarse(orders.count(), per_group_target=200_000)
+
+    def bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[["o_custkey", "revenue", "n_items"]].copy()
+        b["__ub"] = (
+            pd.util.hash_array(b["o_custkey"].to_numpy()) % n_buckets
+        ).astype("int64")
+        return b
+
+    def reduce_top(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("o_custkey", as_index=False, sort=False).agg(
+            revenue=("revenue", "sum"), n_items=("n_items", "sum")
+        )
+        return agg.sort_values(
+            ["revenue", "o_custkey"], ascending=[False, True]
+        ).head(20)
+
+    partial_top = (
+        joined.map_batches(bucket, batch_format="pandas")
+        .groupby("__ub")
+        .map_groups(reduce_top, batch_format="pandas")
+        .to_pandas()  # ≤ 20 × n_buckets rows
+    )
+    top = (
+        partial_top.sort_values(["revenue", "o_custkey"], ascending=[False, True])
+        .head(20)
+        .rename(columns={"o_custkey": "c_custkey"})
+    )
+    # dimension fetch for the 20 winners only (semi-filter, no shuffle)
+    keys = set(top["c_custkey"].tolist())
+    cust = (
+        ops.read(sf_dir, "customer", columns=["c_custkey", "c_name", "c_nationkey"])
+        .map_batches(
+            lambda b, _k=keys: b[b["c_custkey"].isin(_k)], batch_format="pandas"
+        )
+        .to_pandas()  # ≤ 20 rows
+    )
+    nation = ops.read_pandas(sf_dir, "nation", columns=["n_nationkey", "n_name"])
+    dim = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+    out = top.merge(dim[["c_custkey", "c_name", "n_name"]], on="c_custkey")
+    out = out.sort_values(
+        ["revenue", "c_custkey"], ascending=[False, True]
+    ).reset_index(drop=True)
+    return pd.DataFrame(
+        {
+            "c_custkey": out["c_custkey"].astype("int64"),
+            "c_name": out["c_name"],
+            "n_name": out["n_name"],
+            "revenue": out["revenue"].round(2),
+            "n_items": out["n_items"].astype("int64"),
+        }
+    )
+
+
+Q10_SQL = """
+SELECT c.c_custkey, c.c_name, n.n_name,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem l JOIN orders   o ON l.l_orderkey  = o.o_orderkey
+                JOIN customer c ON o.o_custkey   = c.c_custkey
+                JOIN nation   n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+GROUP BY 1, 2, 3
+ORDER BY sum(l.l_extendedprice * (1 - l.l_discount)) DESC, c.c_custkey
+LIMIT 20
+"""
+
+
 def top_orders_by_price(sf_dir):
     orders = ops.read(
         sf_dir, "orders", columns=["o_orderkey", "o_orderstatus", "o_totalprice"]
@@ -736,6 +860,75 @@ ORDER BY user_id, event_id
 """
 
 
+def customer_order_windows(sf_dir):
+    """Window functions over a partitioned stream (row_number / lag):
+    per-customer order sequence number, microsecond gap to the previous
+    order, and price delta vs the previous order (exact integer cents).
+    Customer-bucketed like ``events_sessionize`` — the window arithmetic
+    is vectorized ACROSS customers inside each coarse group (grouped
+    shift/cumcount, no per-customer Ray groups), so each customer's
+    orders move through exactly one shuffle. First-order rows get
+    gap_us = -1 and price_delta_cents = 0 (no NULLs — the driver
+    value-hash has no null story)."""
+    from .dedup import _adaptive_coarse
+
+    orders = ops.read(
+        sf_dir,
+        "orders",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+    try:
+        n_buckets = _adaptive_coarse(orders.count(), per_group_target=100_000)
+    except Exception:
+        n_buckets = 64
+
+    def key(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["__ub"] = (
+            pd.util.hash_array(b["o_custkey"].to_numpy()) % n_buckets
+        ).astype("int64")
+        return b
+
+    def windows(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+        same = g["o_custkey"].eq(g["o_custkey"].shift()).to_numpy()
+        ts_us = g["o_orderdate"].astype("datetime64[us]").astype("int64").to_numpy()
+        cents = np.rint(g["o_totalprice"].to_numpy() * 100.0).astype(np.int64)
+        gap_us = np.where(same, ts_us - np.roll(ts_us, 1), -1)
+        delta = np.where(same, cents - np.roll(cents, 1), 0)
+        seq = g.groupby("o_custkey", sort=False).cumcount().to_numpy() + 1
+        return pd.DataFrame(
+            {
+                "o_orderkey": g["o_orderkey"].to_numpy(dtype=np.int64),
+                "o_custkey": g["o_custkey"].to_numpy(dtype=np.int64),
+                "order_seq": seq.astype(np.int64),
+                "gap_us": gap_us.astype(np.int64),
+                "price_delta_cents": delta.astype(np.int64),
+            }
+        )
+
+    out = (
+        orders.map_batches(key, batch_format="pandas")
+        .groupby("__ub")
+        .map_groups(windows, batch_format="pandas")
+    )
+    return out.sort(["o_custkey", "order_seq"])
+
+
+WINDOWS_SQL = """
+SELECT o_orderkey, o_custkey,
+       CAST(row_number() OVER w AS BIGINT) AS order_seq,
+       COALESCE(epoch_us(o_orderdate)
+                - lag(epoch_us(o_orderdate)) OVER w, -1) AS gap_us,
+       COALESCE(CAST(round(o_totalprice * 100) AS BIGINT)
+                - lag(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w,
+                0) AS price_delta_cents
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+ORDER BY o_custkey, order_seq
+"""
+
+
 # ---------------------------------------------------------------------------
 # documents: text analysis + dedup
 # ---------------------------------------------------------------------------
@@ -977,6 +1170,52 @@ def embedding_dup_pairs(sf_dir):
     ]
 
 
+def embedding_lsh_dups(sf_dir):
+    """Hyperplane-LSH near-dup pairs (rows-only: LSH recall is
+    probabilistic, so there is no faithful SQL oracle; the exact-path
+    twin ``embedding_dup_pairs`` IS oracled). The sf embeddings are
+    random vectors (max pairwise cosine ≈ 0.51 — no natural near-dups
+    at a realistic dup threshold), so the query plants deterministic
+    near-copies: the first 20 vectors reappear as vec_id + 1_000_000
+    with small seeded noise (cos ≈ 0.9998). Expected output: exactly
+    those 20 (original, copy) pairs at cosine ≥ 0.95."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    emb = ops.read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    base = (
+        pq.read_table(
+            os.path.join(sf_dir, "embeddings.parquet"),
+            columns=["vec_id", "embedding"],
+            filters=[("vec_id", "<", 20)],
+        )
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    rng = np.random.default_rng(99)
+    vecs = np.stack(base["embedding"].to_numpy()).astype(np.float64)
+    noisy = vecs + 0.02 * rng.standard_normal(vecs.shape)
+    import pyarrow as pa
+
+    # Arrow table with the parquet schema exactly (list<float>) — a
+    # pandas block unioned into an Arrow-block dataset trips Ray 2.49's
+    # mixed-block-type assertion downstream
+    planted = pa.table(
+        {
+            "vec_id": pa.array(
+                base["vec_id"].to_numpy(dtype=np.int64) + 1_000_000,
+                type=pa.int64(),
+            ),
+            "embedding": pa.array(
+                [v.astype(np.float32) for v in noisy],
+                type=pa.list_(pa.float32()),
+            ),
+        }
+    )
+    ds = emb.union(rd.from_arrow(planted))
+    return ann.embedding_lsh_dup_pairs(ds, threshold=0.95)
+
+
 EMB_DUP_SQL = """
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
@@ -1207,6 +1446,7 @@ QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_revenue_orders": q3_top_revenue_orders,
     "q5_nation_revenue": q5_nation_revenue,
+    "q10_returned_items": q10_returned_items,
     "top_orders_by_price": top_orders_by_price,
     "top_orders_per_segment": top_orders_per_segment,
     "sample_documents_hash": sample_documents_hash,
@@ -1216,6 +1456,7 @@ QUERIES = {
     "events_sessionize": events_sessionize,
     "events_sliding_window": events_sliding_window,
     "events_asof_last_click": events_asof_last_click,
+    "customer_order_windows": customer_order_windows,
     "brand_volume": brand_volume,
     "orders_price_band_join": orders_price_band_join,
     "order_price_quantiles": order_price_quantiles,
@@ -1232,6 +1473,7 @@ QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ivf_ann_topk": ivf_ann_topk,
     "embedding_dup_pairs": embedding_dup_pairs,
+    "embedding_lsh_dups": embedding_lsh_dups,
     "tile_pyramid_stats": tile_pyramid_stats,
     "tile_pyramid_stats_geodetic": tile_pyramid_stats_geodetic,
     "tile_pyramid_stats_utm": tile_pyramid_stats_utm,
@@ -1248,6 +1490,7 @@ ORACLES = {
     "q1_pricing_summary": Q1_SQL,
     "q3_top_revenue_orders": Q3_SQL,
     "q5_nation_revenue": Q5_SQL,
+    "q10_returned_items": Q10_SQL,
     "top_orders_by_price": TOP_ORDERS_SQL,
     "top_orders_per_segment": TOP_PER_SEGMENT_SQL,
     "sample_documents_hash": SAMPLE_DOCS_SQL,
@@ -1257,6 +1500,7 @@ ORACLES = {
     "events_sessionize": SESSIONIZE_SQL,
     "events_sliding_window": SLIDING_SQL,
     "events_asof_last_click": ASOF_SQL,
+    "customer_order_windows": WINDOWS_SQL,
     "brand_volume": BRAND_SQL,
     "orders_price_band_join": BAND_JOIN_SQL,
     "order_price_quantiles": QUANTILES_SQL,
