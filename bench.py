@@ -54,6 +54,10 @@ BENCH_QUERIES = [
     "q10_returned_items",
     "customer_order_windows",
     "embedding_lsh_dups",
+    "q18_large_orders",
+    "stratified_sample_orders",
+    "distinct_parts_hll",
+    "event_users_hll",
 ]
 
 CORPUS_ROWS = {"sf0.1": 25000, "sf0.01": 2000, "sf0.001": 400}

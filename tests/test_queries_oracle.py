@@ -69,6 +69,8 @@ def test_entry_smoke(ray_session):
         "q3_top_revenue_orders",
         "q5_nation_revenue",
         "q10_returned_items",
+        "q18_large_orders",
+        "stratified_sample_orders",
         "top_orders_by_price",
         "top_orders_per_segment",
         "sample_documents_hash",
@@ -114,6 +116,8 @@ def test_oracle_match(registry, name):
         "dedup_clean_corpus",
         "ivf_ann_topk",
         "embedding_lsh_dups",
+        "distinct_parts_hll",
+        "event_users_hll",
         "tile_pyramid_stats",
         "tile_pyramid_stats_geodetic",
         "skew_census",
@@ -172,6 +176,27 @@ def test_embedding_lsh_planted_recall(registry):
         f"missing={expected - pairs} extra={pairs - expected}"
     )
     assert (df["score"] >= 0.95).all()
+
+
+def test_hll_accuracy(registry):
+    """HLL estimates vs exact COUNT(DISTINCT): ≤2% relative error at
+    p=14 (theory: 1.04/√16384 ≈ 0.8%) — global and grouped paths."""
+    qs, _ = registry
+    est = int(
+        _to_pandas(qs["distinct_parts_hll"](SF))["approx_distinct_parts"][0]
+    )
+    exact = _duck("SELECT count(DISTINCT l_partkey) AS n FROM lineitem")["n"][0]
+    assert abs(est - exact) <= 0.02 * exact, (est, exact)
+
+    grp = _to_pandas(qs["event_users_hll"](SF)).set_index("event_type")
+    exact_g = _duck(
+        "SELECT event_type, count(DISTINCT user_id) AS n FROM events"
+        " GROUP BY 1 ORDER BY 1"
+    ).set_index("event_type")
+    assert set(grp.index) == set(exact_g.index)
+    for t in exact_g.index:
+        e_, x_ = int(grp.loc[t, "approx_distinct"]), int(exact_g.loc[t, "n"])
+        assert abs(e_ - x_) <= max(2, 0.02 * x_), (t, e_, x_)
 
 
 def test_ivf_recall_vs_brute(registry):

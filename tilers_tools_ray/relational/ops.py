@@ -337,3 +337,114 @@ def heavy_hitters(
     out = exact.reset_index(drop=True)
     out["cnt"] = out["cnt"].astype("int64")
     return (out, certified) if return_certified else out
+
+
+def _hibit(w):
+    """Exact index of the highest set bit for each uint64 in ``w``
+    (entries must be > 0). Binary-search shift cascade — 6 vectorized
+    numpy passes, no float log2 (float64 rounds 2⁶³−1 up to 2⁶³ and
+    mis-ranks ~1/2¹¹ of hashes near power-of-two boundaries)."""
+    w = w.astype(np.uint64, copy=True)
+    r = np.zeros(w.shape, dtype=np.int64)
+    for s in (32, 16, 8, 4, 2, 1):
+        m = w >= (np.uint64(1) << np.uint64(s))
+        r[m] += s
+        w[m] >>= np.uint64(s)
+    return r
+
+
+def _hll_batch_registers(values, p):
+    """Dense HLL register array (uint8[2^p]) for one batch of values.
+    Hash: pandas' 64-bit SipHash-ish ``hash_array`` (fixed internal
+    key — deterministic across processes/machines, unlike Python's
+    seeded ``hash``). Register index = top ``p`` hash bits; rank =
+    1-based position of the first set bit in the remaining 64−p."""
+    h = pd.util.hash_array(np.asarray(values))  # uint64
+    m = 1 << p
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    rest = (h << np.uint64(p)).astype(np.uint64)  # low bits shifted up
+    rank = np.where(rest == 0, 64 - p + 1, 64 - _hibit(np.maximum(rest, 1)))
+    regs = np.zeros(m, dtype=np.uint8)
+    np.maximum.at(regs, idx, rank.astype(np.uint8))
+    return regs
+
+
+def _hll_estimate(regs):
+    """Flajolet et al. '07 estimator with the standard small-range
+    (linear-counting) and large-range corrections."""
+    m = float(len(regs))
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    e = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    zeros = int(np.count_nonzero(regs == 0))
+    if e <= 2.5 * m and zeros:
+        e = m * np.log(m / zeros)  # linear counting
+    elif e > (1 << 64) / 30.0:
+        e = -(2.0**64) * np.log1p(-e / 2.0**64)
+    return int(round(e))
+
+
+def hll_distinct(ds, col, p=14, group_col=None, batch_size=65536):
+    """Approximate COUNT(DISTINCT col) via a mergeable HyperLogLog
+    sketch (rel. error ≈ 1.04/√2^p ≈ 0.8% at the default p=14).
+
+    Shape for 100 TB: each batch reduces to ONE dense 2^p-byte
+    register row (16 KiB at p=14) — the only thing that ever leaves a
+    worker; registers merge by elementwise max, which is associative
+    and commutative, so any merge tree gives the identical sketch.
+    Ungrouped: the driver folds batch sketches as they stream
+    (``iter_batches`` — O(2^p) driver memory, never O(batches)).
+    Grouped: partial rows are (group, registers) and the max-merge
+    runs as a distributed Ray groupby/map_groups, so group cardinality
+    can be large; per-group answer rows are all that reach the driver.
+
+    Returns an int estimate, or a DataFrame (group_col, approx_distinct)
+    sorted by group when ``group_col`` is given."""
+    m = 1 << p
+
+    if group_col is None:
+
+        def partial(batch: pd.DataFrame) -> pd.DataFrame:
+            regs = _hll_batch_registers(batch[col].to_numpy(), p)
+            return pd.DataFrame({"regs": [regs.tobytes()]})
+
+        sketches = ds.map_batches(
+            partial, batch_format="pandas", batch_size=batch_size
+        )
+        regs = np.zeros(m, dtype=np.uint8)
+        for b in sketches.iter_batches(batch_format="pandas"):
+            for blob in b["regs"]:
+                np.maximum(
+                    regs, np.frombuffer(blob, dtype=np.uint8), out=regs
+                )
+        return _hll_estimate(regs)
+
+    def partial_g(batch: pd.DataFrame) -> pd.DataFrame:
+        rows_g, rows_r = [], []
+        for gval, sub in batch.groupby(group_col, sort=False):
+            rows_g.append(gval)
+            rows_r.append(
+                _hll_batch_registers(sub[col].to_numpy(), p).tobytes()
+            )
+        return pd.DataFrame({group_col: rows_g, "regs": rows_r})
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        regs = np.zeros(m, dtype=np.uint8)
+        for blob in g["regs"]:
+            np.maximum(regs, np.frombuffer(blob, dtype=np.uint8), out=regs)
+        return pd.DataFrame(
+            {
+                group_col: [g[group_col].iloc[0]],
+                "approx_distinct": np.array(
+                    [_hll_estimate(regs)], dtype=np.int64
+                ),
+            }
+        )
+
+    out = (
+        ds.map_batches(partial_g, batch_format="pandas", batch_size=batch_size)
+        .materialize()  # pin partials before the all-to-all (see exact_dedup)
+        .groupby(group_col)
+        .map_groups(merge, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(group_col).reset_index(drop=True)

@@ -340,6 +340,180 @@ LIMIT 20
 """
 
 
+def q18_large_orders(sf_dir, qty_threshold=300):
+    """TPC-H Q18 shape (large-volume orders): HAVING over a 3-table
+    join. The per-order quantity reduce is the scale-critical piece —
+    10⁹+ distinct orderkeys, so partial per-batch sums feed a coarse
+    hash-bucketed grouped reduce where the HAVING filter runs INSIDE
+    the bucket; only qualifying orders (a sub-percent tail) ever leave
+    the reduce, and the orders/customer dimensions are fetched by
+    semi-filter for exactly those winners (neither table is broadcast
+    or collected whole)."""
+    from .dedup import _adaptive_coarse
+
+    li = ops.read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+    n_buckets = _adaptive_coarse(li.count(), per_group_target=500_000)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        agg = b.groupby("l_orderkey", as_index=False, sort=False).agg(
+            qty=("l_quantity", "sum")
+        )
+        agg["__ub"] = (
+            pd.util.hash_array(agg["l_orderkey"].to_numpy()) % n_buckets
+        ).astype("int64")
+        return agg
+
+    def having(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("l_orderkey", as_index=False, sort=False).agg(
+            qty=("qty", "sum")
+        )
+        return agg[agg["qty"] > qty_threshold][["l_orderkey", "qty"]]
+
+    big = (
+        li.map_batches(partial, batch_format="pandas", batch_size=131072)
+        .materialize()  # pin partials pre-shuffle (see dedup.exact_dedup)
+        .groupby("__ub")
+        .map_groups(having, batch_format="pandas")
+        .to_pandas()  # qualifying orders only — the HAVING tail
+    )
+    cols = [
+        "c_name",
+        "c_custkey",
+        "o_orderkey",
+        "order_date_us",
+        "o_totalprice",
+        "sum_qty",
+    ]
+    if len(big) == 0:
+        return pd.DataFrame(
+            {
+                "c_name": pd.array([], dtype="str"),
+                "c_custkey": pd.array([], dtype="int64"),
+                "o_orderkey": pd.array([], dtype="int64"),
+                "order_date_us": pd.array([], dtype="int64"),
+                "o_totalprice": pd.array([], dtype="float64"),
+                "sum_qty": pd.array([], dtype="int64"),
+            }
+        )
+    okeys = set(big["l_orderkey"].tolist())
+    orders = (
+        ops.read(
+            sf_dir,
+            "orders",
+            columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+        )
+        .map_batches(
+            lambda b, _k=okeys: b[b["o_orderkey"].isin(_k)],
+            batch_format="pandas",
+        )
+        .to_pandas()  # ≤ len(big) rows
+    )
+    ckeys = set(orders["o_custkey"].tolist())
+    cust = (
+        ops.read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+        .map_batches(
+            lambda b, _k=ckeys: b[b["c_custkey"].isin(_k)],
+            batch_format="pandas",
+        )
+        .to_pandas()  # ≤ len(big) rows
+    )
+    out = orders.merge(
+        big, left_on="o_orderkey", right_on="l_orderkey"
+    ).merge(cust, left_on="o_custkey", right_on="c_custkey")
+    out["order_date_us"] = (
+        out["o_orderdate"].astype("datetime64[us]").astype("int64")
+    )
+    out["sum_qty"] = np.rint(out["qty"]).astype(np.int64)
+    out = out.sort_values(
+        ["o_totalprice", "o_orderkey"], ascending=[False, True]
+    ).head(100)
+    return out[cols].reset_index(drop=True)
+
+
+Q18_SQL = """
+SELECT c_name, c_custkey, o_orderkey,
+       epoch_us(o_orderdate) AS order_date_us,
+       o_totalprice,
+       CAST(round(sum(l_quantity)) AS BIGINT) AS sum_qty
+FROM customer JOIN orders    ON c_custkey = o_custkey
+              JOIN lineitem  ON o_orderkey = l_orderkey
+GROUP BY 1, 2, 3, 4, 5
+HAVING sum(l_quantity) > 300
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+
+def stratified_sample_orders(sf_dir, k=50):
+    """Deterministic stratified sampling: k orders per o_orderstatus
+    stratum, chosen by the smallest Knuth multiplicative hash of the
+    key — the SQL-expressible stand-in for seeded uniform sampling
+    (the oracle computes the identical choice with row_number()), so
+    the sample is reproducible AND hash-verifiable. Distributed shape
+    = ops.grouped_topk ascending: per-batch per-stratum head-k
+    combiner, then a grouped merge — only k × strata × blocks rows
+    shuffle. int64 note: key × 2654435761 must not overflow — fine to
+    ~3.5e9 keys; at larger key ranges swap in the 128-bit split hash
+    (document the oracle change with it)."""
+    orders = ops.read(sf_dir, "orders", columns=["o_orderkey", "o_orderstatus"])
+
+    def add_hash(b: pd.DataFrame) -> pd.DataFrame:
+        h = (
+            b["o_orderkey"].to_numpy(dtype=np.uint64) * np.uint64(2654435761)
+        ) % np.uint64(1 << 32)
+        b = b.copy()
+        b["samp_hash"] = h.astype("int64")
+        return b
+
+    ds = orders.map_batches(add_hash, batch_format="pandas")
+    out = ops.grouped_topk(
+        ds, "o_orderstatus", "samp_hash", k, descending=False,
+        tie_col="o_orderkey",
+    ).to_pandas()  # ≤ k × n_strata rows
+    out = out.sort_values(
+        ["o_orderstatus", "samp_hash", "o_orderkey"]
+    ).reset_index(drop=True)
+    return out[["o_orderstatus", "o_orderkey", "samp_hash", "rk"]]
+
+
+STRATIFIED_SQL = """
+SELECT o_orderstatus, o_orderkey, samp_hash, rk FROM (
+  SELECT o_orderstatus, o_orderkey,
+         (o_orderkey * 2654435761) % 4294967296 AS samp_hash,
+         CAST(row_number() OVER (
+              PARTITION BY o_orderstatus
+              ORDER BY (o_orderkey * 2654435761) % 4294967296, o_orderkey)
+          AS BIGINT) AS rk
+  FROM orders) t
+WHERE rk <= 50
+ORDER BY o_orderstatus, samp_hash, o_orderkey
+"""
+
+
+def distinct_parts_hll(sf_dir):
+    """Approximate distinct-part count over lineitem via the mergeable
+    HyperLogLog sketch (ops.hll_distinct) — rows-only: the estimate is
+    not SQL-expressible; accuracy vs exact COUNT(DISTINCT) is asserted
+    by test_hll_accuracy (≤2% rel. error, typically ≪1% at p=14)."""
+    li = ops.read(sf_dir, "lineitem", columns=["l_partkey"])
+    est = ops.hll_distinct(li, "l_partkey", p=14)
+    return pd.DataFrame(
+        {"approx_distinct_parts": np.array([est], dtype=np.int64)}
+    )
+
+
+def event_users_hll(sf_dir):
+    """Approximate distinct users per event type — the GROUPED HLL
+    path: per-batch per-group register partials merge in a distributed
+    Ray groupby (register max), so only (type, 16 KiB) sketch rows
+    move and per-group answers reach the driver. Rows-only; accuracy
+    vs exact asserted by test_hll_accuracy."""
+    ev = ops.read(sf_dir, "events", columns=["event_type", "user_id"])
+    out = ops.hll_distinct(ev, "user_id", p=14, group_col="event_type")
+    out["approx_distinct"] = out["approx_distinct"].astype("int64")
+    return out
+
+
 def top_orders_by_price(sf_dir):
     orders = ops.read(
         sf_dir, "orders", columns=["o_orderkey", "o_orderstatus", "o_totalprice"]
@@ -1447,6 +1621,10 @@ QUERIES = {
     "q3_top_revenue_orders": q3_top_revenue_orders,
     "q5_nation_revenue": q5_nation_revenue,
     "q10_returned_items": q10_returned_items,
+    "q18_large_orders": q18_large_orders,
+    "stratified_sample_orders": stratified_sample_orders,
+    "distinct_parts_hll": distinct_parts_hll,
+    "event_users_hll": event_users_hll,
     "top_orders_by_price": top_orders_by_price,
     "top_orders_per_segment": top_orders_per_segment,
     "sample_documents_hash": sample_documents_hash,
@@ -1491,6 +1669,8 @@ ORACLES = {
     "q3_top_revenue_orders": Q3_SQL,
     "q5_nation_revenue": Q5_SQL,
     "q10_returned_items": Q10_SQL,
+    "q18_large_orders": Q18_SQL,
+    "stratified_sample_orders": STRATIFIED_SQL,
     "top_orders_by_price": TOP_ORDERS_SQL,
     "top_orders_per_segment": TOP_PER_SEGMENT_SQL,
     "sample_documents_hash": SAMPLE_DOCS_SQL,
