@@ -58,6 +58,8 @@ BENCH_QUERIES = [
     "stratified_sample_orders",
     "distinct_parts_hll",
     "event_users_hll",
+    "doc_top_terms",
+    "order_price_quantile_sketch",
 ]
 
 CORPUS_ROWS = {"sf0.1": 25000, "sf0.01": 2000, "sf0.001": 400}

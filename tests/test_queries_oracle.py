@@ -86,6 +86,7 @@ def test_entry_smoke(ray_session):
         "order_price_quantiles",
         "segment_distinct_customers",
         "doc_token_stats",
+        "doc_top_terms",
         "dedup_exact_docs",
         "ngram_jaccard_pairs",
         "doc_quality",
@@ -118,6 +119,7 @@ def test_oracle_match(registry, name):
         "embedding_lsh_dups",
         "distinct_parts_hll",
         "event_users_hll",
+        "order_price_quantile_sketch",
         "tile_pyramid_stats",
         "tile_pyramid_stats_geodetic",
         "skew_census",
@@ -197,6 +199,21 @@ def test_hll_accuracy(registry):
     for t in exact_g.index:
         e_, x_ = int(grp.loc[t, "approx_distinct"]), int(exact_g.loc[t, "n"])
         assert abs(e_ - x_) <= max(2, 0.02 * x_), (t, e_, x_)
+
+
+def test_quantile_sketch_accuracy(registry):
+    """Sketch estimates land within 1% absolute RANK of the target:
+    for each estimated value, the exact CDF position (fraction of rows
+    ≤ value) must be within ±0.01 of the requested quantile."""
+    import numpy as np
+
+    qs, _ = registry
+    est = _to_pandas(qs["order_price_quantile_sketch"](SF))
+    prices = _duck("SELECT o_totalprice FROM orders")["o_totalprice"].to_numpy()
+    prices = np.sort(prices)
+    for q, v in zip(est["q"], est["price"]):
+        rank = np.searchsorted(prices, v, side="right") / len(prices)
+        assert abs(rank - q) <= 0.01, (q, v, rank)
 
 
 def test_ivf_recall_vs_brute(registry):

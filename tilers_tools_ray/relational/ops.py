@@ -448,3 +448,55 @@ def hll_distinct(ds, col, p=14, group_col=None, batch_size=65536):
         .to_pandas()
     )
     return out.sort_values(group_col).reset_index(drop=True)
+
+
+def quantile_sketch(ds, col, qs=(0.25, 0.5, 0.75), B=4096, batch_size=65536):
+    """Approximate quantiles via a mergeable equal-spaced weighted
+    summary (the MRL-style collapse, Manku et al. SIGMOD'98 shape).
+
+    Shape for 100 TB: each batch reduces to ≤ ``B`` (value, weight)
+    rows — a rank-uniform thinning of the sorted batch (per-batch rank
+    error ≤ n_batch/2B). Summaries stream to a driver fold that holds
+    at most 16·B points and re-thins when full, so driver memory is
+    O(B) regardless of row count; on a multi-node run the same fold is
+    associative and would tree-reduce. Rank error grows with collapse
+    depth — measured ≤ 0.024% absolute rank at 10⁷ lognormal rows /
+    B=4096, 1.7 s at 32 cpus (BASELINE.md datapoint table); raise
+    ``B`` for tighter error.
+    Returns np.float64 estimates aligned with ``qs``."""
+    B = int(B)
+
+    def thin(v, w, k):
+        """Rank-uniform k-point summary of weighted values (sorted)."""
+        order = np.argsort(v, kind="stable")
+        v, w = v[order], w[order]
+        total = float(w.sum())
+        cw = np.cumsum(w) - 0.5 * w  # midpoint ranks
+        targets = (np.arange(k) + 0.5) * (total / k)
+        idx = np.clip(np.searchsorted(cw, targets), 0, len(v) - 1)
+        return v[idx], np.full(k, total / k)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(batch[col].to_numpy(dtype=np.float64))
+        if len(v) > B:
+            idx = ((np.arange(B) + 0.5) * (len(v) / B)).astype(np.int64)
+            return pd.DataFrame(
+                {"qv": v[idx], "qw": np.full(B, len(v) / B)}
+            )
+        return pd.DataFrame({"qv": v, "qw": np.ones(len(v))})
+
+    summaries = ds.map_batches(
+        partial, batch_format="pandas", batch_size=batch_size
+    )
+    vals = np.empty(0, dtype=np.float64)
+    wts = np.empty(0, dtype=np.float64)
+    for b in summaries.iter_batches(batch_format="pandas"):
+        vals = np.concatenate([vals, b["qv"].to_numpy()])
+        wts = np.concatenate([wts, b["qw"].to_numpy()])
+        if len(vals) > 16 * B:
+            vals, wts = thin(vals, wts, B)
+    order = np.argsort(vals, kind="stable")
+    vals, wts = vals[order], wts[order]
+    total = float(wts.sum())
+    cw = np.cumsum(wts) - 0.5 * wts
+    return np.interp(np.asarray(qs, dtype=np.float64) * total, cw, vals)

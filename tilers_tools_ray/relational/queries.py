@@ -514,6 +514,55 @@ def event_users_hll(sf_dir):
     return out
 
 
+def doc_top_terms(sf_dir, k=30):
+    """Certified corpus-wide top-k terms: vectorized tokenize+explode
+    inside map_batches feeds ops.heavy_hitters — the mergeable
+    Misra-Gries sketch with the exact-verify pass — so the result is
+    PROVABLY the exact top-k (or falls back to the exact aggregate
+    when the sketch can't certify), while driver memory stays
+    O(capacity) no matter the vocabulary. Oracled: the tokenizer
+    ([a-z0-9]+ runs of lowered text) is regexp-expressible in DuckDB."""
+    docs = ops.read(sf_dir, "documents", columns=["text"])
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        words = (
+            b["text"].str.lower().str.findall(r"[a-z0-9]+").explode().dropna()
+        )
+        return pd.DataFrame({"word": words.to_numpy()})
+
+    words = docs.map_batches(explode, batch_format="pandas")
+    out = ops.heavy_hitters(words, "word", k=k, capacity=4096)
+    return out.reset_index(drop=True)
+
+
+TOP_TERMS_SQL = """
+SELECT word, count(*) AS cnt FROM (
+  SELECT unnest(list_filter(
+           regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+           x -> x <> '')) AS word
+  FROM documents)
+GROUP BY word ORDER BY cnt DESC, word LIMIT 30
+"""
+
+
+def order_price_quantile_sketch(sf_dir):
+    """Approximate global price quantiles via the mergeable summary
+    sketch (ops.quantile_sketch) — rows-only: the estimate is not
+    SQL-expressible; test_quantile_sketch_accuracy asserts ≤1%
+    absolute RANK error vs the exact CDF. Complements the exact
+    per-group ``order_price_quantiles`` the way the HLL pair
+    complements exact distinct counts."""
+    orders = ops.read(sf_dir, "orders", columns=["o_totalprice"])
+    qs = (0.25, 0.5, 0.75, 0.95, 0.99)
+    est = ops.quantile_sketch(orders, "o_totalprice", qs=qs)
+    return pd.DataFrame(
+        {
+            "q": np.asarray(qs, dtype=np.float64),
+            "price": np.round(est, 2),
+        }
+    )
+
+
 def top_orders_by_price(sf_dir):
     orders = ops.read(
         sf_dir, "orders", columns=["o_orderkey", "o_orderstatus", "o_totalprice"]
@@ -1625,6 +1674,8 @@ QUERIES = {
     "stratified_sample_orders": stratified_sample_orders,
     "distinct_parts_hll": distinct_parts_hll,
     "event_users_hll": event_users_hll,
+    "doc_top_terms": doc_top_terms,
+    "order_price_quantile_sketch": order_price_quantile_sketch,
     "top_orders_by_price": top_orders_by_price,
     "top_orders_per_segment": top_orders_per_segment,
     "sample_documents_hash": sample_documents_hash,
@@ -1671,6 +1722,7 @@ ORACLES = {
     "q10_returned_items": Q10_SQL,
     "q18_large_orders": Q18_SQL,
     "stratified_sample_orders": STRATIFIED_SQL,
+    "doc_top_terms": TOP_TERMS_SQL,
     "top_orders_by_price": TOP_ORDERS_SQL,
     "top_orders_per_segment": TOP_PER_SEGMENT_SQL,
     "sample_documents_hash": SAMPLE_DOCS_SQL,
