@@ -127,6 +127,10 @@ def test_mixed_srs_merge(ray_session, tmp_path):
 
 def test_unknown_srs_still_fails_loudly():
     with pytest.raises(ValueError, match="unsupported srs"):
-        raster.check_srs("EPSG:2154")  # Lambert-93: not implemented
+        raster.check_srs("EPSG:3035")  # LAEA: not implemented
     with pytest.raises(ValueError, match="unsupported srs"):
-        raster.check_srs("+proj=lcc +lat_1=49")
+        raster.check_srs("+proj=sinu +lon_0=0")
+    # conics are now real projection kernels, not errors
+    assert raster.check_srs("EPSG:2154") == "EPSG:2154"
+    assert raster.check_srs("+proj=lcc +lat_1=49") == "+proj=lcc +lat_1=49"
+    assert raster.check_srs("EPSG:5070") == "EPSG:5070"

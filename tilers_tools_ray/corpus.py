@@ -273,6 +273,57 @@ def utm_rows(seed=77, n=6, zone=33, lat_c=45.0):
     return rows
 
 
+def conic_rows(srs, lon_c, lat_c, seed=78, n=6):
+    """n deterministic images georeferenced in conic-projection meters
+    (Lambert conformal / Albers, e.g. ``EPSG:2154``) around
+    (lon_c, lat_c) — the conic leg of the arbitrary-SRS warp fixture
+    (same shape as :func:`utm_rows`; upstream: GDAL warp of any proj4
+    SRS). Every third image carries a small rotation term."""
+    from . import codecs, proj, raster
+
+    kern = proj.parse_srs(srs)
+    if kern is None:
+        raise ValueError(f"not a conic/tmerc srs: {srs!r}")
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        w = h = int(rng.choice([96, 128]))
+        lon_i = lon_c + rng.uniform(-1.5, 1.5)
+        lat_i = lat_c + rng.uniform(-1.0, 1.0)
+        ex, ny_ = kern.forward(lon_i, lat_i)
+        res_m = float(rng.uniform(400.0, 700.0))
+        rot = float(rng.uniform(-0.05, 0.05)) if i % 3 == 0 else 0.0
+        gt = [
+            float(ex) - (w / 2.0) * res_m,
+            res_m,
+            rot * res_m,
+            float(ny_) + (h / 2.0) * res_m,
+            rot * res_m,
+            -res_m,
+        ]
+        pixels = synth_pixels(rng, h, w)
+        fmt = str(rng.choice(["raw", "png", "dct"]))
+        data = codecs.encode_image(pixels, fmt)
+        ring = np.array([[0, 0], [w, 0], [w, h], [0, h]], dtype=np.float64)
+        rows.append(
+            {
+                "image_id": f"conic-{i:04d}",
+                "bytes": data,
+                "w": w,
+                "h": h,
+                "fmt": fmt,
+                "caption": f"conic caption {i}",
+                "phash": codecs.phash64(codecs.decode_image(data, fmt)),
+                "gt": gt,
+                "srs": srs,
+                "cutline_wkb": raster.wkb_polygon(ring),
+                "zorder": i,
+                "georef_text": "",
+            }
+        )
+    return rows
+
+
 def gen_coverage(seed, n_regions):
     """Coverage polygon table (FIXTURES.md A2): convex rings near the
     hotspots + a few boundary slivers for the kNN fallback."""

@@ -176,7 +176,7 @@ class Tmerc:
 _UTM_EPSG_RE = re.compile(r"^EPSG:32([67])(\d{2})$")
 _P4_UTM_RE = re.compile(r"\+proj=utm\b")
 _P4_TMERC_RE = re.compile(r"\+proj=tmerc\b")
-_P4_KV_RE = re.compile(r"\+([a-z_0]+)(?:=([^\s]+))?")
+_P4_KV_RE = re.compile(r"\+([a-z_0-9]+)(?:=([^\s]+))?")
 
 
 def utm_srs(zone, south=False):
@@ -193,10 +193,14 @@ def parse_srs(srs):
     - ``EPSG:326NN`` / ``EPSG:327NN`` — UTM zone NN north/south, WGS84
     - ``+proj=utm +zone=NN [+south] ...``
     - ``+proj=tmerc +lat_0=.. +lon_0=.. +k=.. +x_0=.. +y_0=.. ...``
+    - ``+proj=lcc`` / ``+proj=aea`` conics (+ EPSG 2154/3978/5070)
     """
     if not isinstance(srs, str):
         return None
     s = srs.strip()
+    conic = _parse_conic(s)
+    if conic is not None:
+        return conic
     m = _UTM_EPSG_RE.match(s)
     if m:
         hemi, zone = m.group(1), int(m.group(2))
@@ -227,3 +231,231 @@ def parse_srs(srs):
             y0=float(kv.get("y_0", 0.0) or 0.0),
         )
     return None
+
+
+# ---------------------------------------------------------------------------
+# Conic projections: Lambert conformal (lcc) and Albers equal-area (aea)
+# — the second family real charts carry beyond UTM (aeronautical charts,
+# State Plane, national grids like Lambert-93). Same duck-typed
+# forward/inverse contract as Tmerc, so raster.py's 2-D grid warp path
+# picks them up unchanged. Snyder, USGS PP 1395, chs. 14–15.
+# ---------------------------------------------------------------------------
+
+_E = float(np.sqrt(_E2))
+
+
+def _conic_t(phi):
+    """Snyder 15-9: isometric-colatitude factor t(φ)."""
+    sp = _E * np.sin(phi)
+    return np.tan(np.pi / 4.0 - phi / 2.0) / ((1.0 - sp) / (1.0 + sp)) ** (
+        _E / 2.0
+    )
+
+
+def _conic_m(phi):
+    """Snyder 14-15: m(φ) = cosφ / √(1 − e²sin²φ)."""
+    sp = np.sin(phi)
+    return np.cos(phi) / np.sqrt(1.0 - _E2 * sp * sp)
+
+
+def _conic_q(phi):
+    """Snyder 3-12: authalic q(φ)."""
+    sp = np.sin(phi)
+    esp = _E * sp
+    return (1.0 - _E2) * (
+        sp / (1.0 - _E2 * sp * sp)
+        - (0.5 / _E) * np.log((1.0 - esp) / (1.0 + esp))
+    )
+
+
+def _phi_from_t(t):
+    """Invert Snyder 15-9 for φ (eq. 7-9 iteration; converges in <6)."""
+    phi = np.pi / 2.0 - 2.0 * np.arctan(t)
+    for _ in range(8):
+        sp = _E * np.sin(phi)
+        phi = np.pi / 2.0 - 2.0 * np.arctan(
+            t * ((1.0 - sp) / (1.0 + sp)) ** (_E / 2.0)
+        )
+    return phi
+
+
+class Lcc:
+    """Ellipsoidal Lambert conformal conic on WGS84/GRS80, one or two
+    standard parallels (Snyder eqs. 15-1..15-11). proj4-style params:
+    ``lat1``/``lat2`` standard parallels (lat2 defaults to lat1 → 1SP),
+    origin ``lat0``/``lon0``, scale ``k0`` (1SP charts), false
+    easting/northing ``x0``/``y0``."""
+
+    __slots__ = ("lat1", "lat2", "lat0", "lon0", "k0", "x0", "y0",
+                 "_n", "_f", "_rho0")
+
+    def __init__(self, lat1, lat2=None, lat0=0.0, lon0=0.0, k0=1.0,
+                 x0=0.0, y0=0.0):
+        self.lat1 = float(lat1)
+        self.lat2 = float(lat1 if lat2 is None else lat2)
+        self.lat0, self.lon0 = float(lat0), float(lon0)
+        self.k0, self.x0, self.y0 = float(k0), float(x0), float(y0)
+        p1, p2 = np.radians(self.lat1), np.radians(self.lat2)
+        m1, t1 = _conic_m(p1), _conic_t(p1)
+        if abs(self.lat1 - self.lat2) < 1e-12:
+            self._n = float(np.sin(p1))
+        else:
+            m2, t2 = _conic_m(p2), _conic_t(p2)
+            self._n = float((np.log(m1) - np.log(m2)) / (np.log(t1) - np.log(t2)))
+        self._f = float(m1 / (self._n * t1**self._n))
+        self._rho0 = float(
+            WGS84_A * self._f * self.k0
+            * _conic_t(np.radians(self.lat0)) ** self._n
+        )
+
+    def __eq__(self, other):
+        return isinstance(other, Lcc) and all(
+            getattr(self, s) == getattr(other, s) for s in self.__slots__
+        )
+
+    def __repr__(self):
+        return (
+            f"Lcc(lat1={self.lat1}, lat2={self.lat2}, lat0={self.lat0}, "
+            f"lon0={self.lon0}, k0={self.k0}, x0={self.x0}, y0={self.y0})"
+        )
+
+    def forward(self, lon, lat):
+        phi = np.radians(np.asarray(lat, dtype=np.float64))
+        dlam = np.radians(np.asarray(lon, dtype=np.float64) - self.lon0)
+        dlam = (dlam + np.pi) % (2.0 * np.pi) - np.pi
+        rho = WGS84_A * self._f * self.k0 * _conic_t(phi) ** self._n
+        th = self._n * dlam
+        return (
+            self.x0 + rho * np.sin(th),
+            self.y0 + self._rho0 - rho * np.cos(th),
+        )
+
+    def inverse(self, x, y):
+        x = np.asarray(x, dtype=np.float64) - self.x0
+        yp = self._rho0 - (np.asarray(y, dtype=np.float64) - self.y0)
+        rho = np.sign(self._n) * np.hypot(x, yp)
+        t = (rho / (WGS84_A * self._f * self.k0)) ** (1.0 / self._n)
+        th = np.arctan2(np.sign(self._n) * x, np.sign(self._n) * yp)
+        return (
+            self.lon0 + np.degrees(th / self._n),
+            np.degrees(_phi_from_t(t)),
+        )
+
+
+class Aea:
+    """Ellipsoidal Albers equal-area conic on WGS84/GRS80 (Snyder
+    eqs. 14-1..14-21); same parameter spelling as :class:`Lcc`."""
+
+    __slots__ = ("lat1", "lat2", "lat0", "lon0", "x0", "y0",
+                 "_n", "_c", "_rho0")
+
+    def __init__(self, lat1, lat2=None, lat0=0.0, lon0=0.0, x0=0.0, y0=0.0):
+        self.lat1 = float(lat1)
+        self.lat2 = float(lat1 if lat2 is None else lat2)
+        self.lat0, self.lon0 = float(lat0), float(lon0)
+        self.x0, self.y0 = float(x0), float(y0)
+        p1, p2 = np.radians(self.lat1), np.radians(self.lat2)
+        m1, q1 = _conic_m(p1), _conic_q(p1)
+        if abs(self.lat1 - self.lat2) < 1e-12:
+            self._n = float(np.sin(p1))
+        else:
+            m2, q2 = _conic_m(p2), _conic_q(p2)
+            self._n = float((m1 * m1 - m2 * m2) / (q2 - q1))
+        self._c = float(m1 * m1 + self._n * q1)
+        self._rho0 = float(
+            WGS84_A
+            * np.sqrt(self._c - self._n * _conic_q(np.radians(self.lat0)))
+            / self._n
+        )
+
+    def __eq__(self, other):
+        return isinstance(other, Aea) and all(
+            getattr(self, s) == getattr(other, s) for s in self.__slots__
+        )
+
+    def __repr__(self):
+        return (
+            f"Aea(lat1={self.lat1}, lat2={self.lat2}, lat0={self.lat0}, "
+            f"lon0={self.lon0}, x0={self.x0}, y0={self.y0})"
+        )
+
+    def forward(self, lon, lat):
+        phi = np.radians(np.asarray(lat, dtype=np.float64))
+        dlam = np.radians(np.asarray(lon, dtype=np.float64) - self.lon0)
+        dlam = (dlam + np.pi) % (2.0 * np.pi) - np.pi
+        rho = WGS84_A * np.sqrt(self._c - self._n * _conic_q(phi)) / self._n
+        th = self._n * dlam
+        return (
+            self.x0 + rho * np.sin(th),
+            self.y0 + self._rho0 - rho * np.cos(th),
+        )
+
+    def inverse(self, x, y):
+        x = np.asarray(x, dtype=np.float64) - self.x0
+        yp = self._rho0 - (np.asarray(y, dtype=np.float64) - self.y0)
+        rho = np.sign(self._n) * np.hypot(x, yp)
+        q = (self._c - (rho * self._n / WGS84_A) ** 2) / self._n
+        th = np.arctan2(np.sign(self._n) * x, np.sign(self._n) * yp)
+        # Snyder 3-16 iteration for φ from authalic q
+        phi = np.arcsin(np.clip(q / 2.0, -1.0, 1.0))
+        for _ in range(8):
+            sp = np.sin(phi)
+            esp = _E * sp
+            den = 1.0 - _E2 * sp * sp
+            phi = phi + (den * den / (2.0 * np.cos(phi))) * (
+                q / (1.0 - _E2)
+                - sp / den
+                + (0.5 / _E) * np.log((1.0 - esp) / (1.0 + esp))
+            )
+        return (
+            self.lon0 + np.degrees(th / self._n),
+            np.degrees(phi),
+        )
+
+
+#: common EPSG codes on GRS80/WGS84-equivalent datums (RGF93, NAD83 and
+#: ETRS89 agree with WGS84 at the sub-meter level — far below chart
+#: resolution; upstream relied on GDAL's datum tables for the same).
+_CONIC_EPSG = {
+    "EPSG:2154": lambda: Lcc(49.0, 44.0, lat0=46.5, lon0=3.0,
+                             x0=700000.0, y0=6600000.0),  # Lambert-93
+    "EPSG:3978": lambda: Lcc(49.0, 77.0, lat0=49.0, lon0=-95.0),  # Canada
+    "EPSG:5070": lambda: Aea(29.5, 45.5, lat0=23.0, lon0=-96.0),  # CONUS
+}
+
+_P4_LCC_RE = re.compile(r"\+proj=lcc\b")
+_P4_AEA_RE = re.compile(r"\+proj=aea\b")
+
+
+def _parse_conic(srs):
+    """Conic kernel for lcc/aea SRS strings, else None (same contract
+    as the tmerc branch of parse_srs; raises on malformed conic SRS)."""
+    if not isinstance(srs, str):
+        return None
+    s = srs.strip()
+    if s in _CONIC_EPSG:
+        return _CONIC_EPSG[s]()
+    is_lcc = bool(_P4_LCC_RE.search(s))
+    is_aea = bool(_P4_AEA_RE.search(s))
+    if not (is_lcc or is_aea):
+        return None
+    kv = {m.group(1): m.group(2) for m in _P4_KV_RE.finditer(s)}
+    if kv.get("ellps", "WGS84") not in ("WGS84", "GRS80"):
+        raise ValueError(f"unsupported ellipsoid in {srs!r}: WGS84/GRS80 only")
+    if "lat_1" not in kv or kv["lat_1"] is None:
+        raise ValueError(f"+proj={'lcc' if is_lcc else 'aea'} needs +lat_1= in {srs!r}")
+    lat1 = float(kv["lat_1"])
+    lat2 = float(kv["lat_2"]) if kv.get("lat_2") is not None else None
+    common = dict(
+        lat0=float(kv.get("lat_0", 0.0) or 0.0),
+        lon0=float(kv.get("lon_0", 0.0) or 0.0),
+        x0=float(kv.get("x_0", 0.0) or 0.0),
+        y0=float(kv.get("y_0", 0.0) or 0.0),
+    )
+    if is_lcc:
+        return Lcc(
+            lat1, lat2,
+            k0=float(kv.get("k", kv.get("k_0", 1.0) or 1.0) or 1.0),
+            **common,
+        )
+    return Aea(lat1, lat2, **common)

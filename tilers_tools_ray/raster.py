@@ -81,9 +81,10 @@ def check_srs(srs):
         raise ValueError(
             f"unsupported srs {srs!r}: this engine implements "
             f"{SUPPORTED_SRS} plus UTM/transverse-Mercator "
-            "(EPSG:326xx/327xx, +proj=utm, +proj=tmerc) only (the "
-            "reference delegates arbitrary SRS to GDAL; add a "
-            "projection kernel to extend)"
+            "(EPSG:326xx/327xx, +proj=utm, +proj=tmerc) and the "
+            "lcc/aea conics (+proj=lcc, +proj=aea, EPSG 2154/3978/"
+            "5070) only (the reference delegates arbitrary SRS to "
+            "GDAL; add a projection kernel to extend)"
         )
     return srs
 
