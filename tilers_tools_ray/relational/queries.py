@@ -1515,6 +1515,34 @@ def tile_pyramid_stats_utm(sf_dir):
     return stats.sort_values("z").reset_index(drop=True)
 
 
+def tile_pyramid_stats_lcc(sf_dir):
+    """Rows-only: base-tile stats over a deterministic Lambert-93
+    (EPSG:2154) images table — exercises the conic warp kernels
+    (upstream: GDAL arbitrary-SRS warp) in the driver contract. Same
+    fixture family the conic golden byte-equality tests use."""
+    import pyarrow.parquet as pq
+
+    from .. import corpus
+    from ..pipelines import pyramid, tileset
+
+    out = "/tmp/ttr_lcc_v1"
+    path = os.path.join(out, "images.parquet")
+    if not os.path.exists(path):
+        os.makedirs(out, exist_ok=True)
+        tmp = path + ".tmp"
+        pq.write_table(
+            corpus.rows_to_table(corpus.conic_rows("EPSG:2154", 3.0, 46.5, n=12)),
+            tmp,
+        )
+        os.replace(tmp, path)
+    base = pyramid.base_tiles(path)
+    stats = tileset.tileset_stats(base).to_pandas()
+    stats["z"] = stats["z"].astype("int64")
+    for c in ("n_tiles", "min_x", "max_x", "min_y", "max_y"):
+        stats[c] = stats[c].astype("int64")
+    return stats.sort_values("z").reset_index(drop=True)
+
+
 def spatial_join_images(sf_dir):
     import pyarrow.parquet as pq
 
@@ -1706,6 +1734,7 @@ QUERIES = {
     "tile_pyramid_stats": tile_pyramid_stats,
     "tile_pyramid_stats_geodetic": tile_pyramid_stats_geodetic,
     "tile_pyramid_stats_utm": tile_pyramid_stats_utm,
+    "tile_pyramid_stats_lcc": tile_pyramid_stats_lcc,
     "skew_census": skew_census,
     "spatial_join_images": spatial_join_images,
     "knn_nearest_regions": knn_nearest_regions,
