@@ -60,6 +60,8 @@ BENCH_QUERIES = [
     "event_users_hll",
     "doc_top_terms",
     "order_price_quantile_sketch",
+    "priority_quantiles_sketch",
+    "customer_cumulative_spend",
 ]
 
 CORPUS_ROWS = {"sf0.1": 25000, "sf0.01": 2000, "sf0.001": 400}

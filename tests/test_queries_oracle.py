@@ -81,6 +81,7 @@ def test_entry_smoke(ray_session):
         "events_sliding_window",
         "events_asof_last_click",
         "customer_order_windows",
+        "customer_cumulative_spend",
         "brand_volume",
         "orders_price_band_join",
         "order_price_quantiles",
@@ -120,6 +121,7 @@ def test_oracle_match(registry, name):
         "distinct_parts_hll",
         "event_users_hll",
         "order_price_quantile_sketch",
+        "priority_quantiles_sketch",
         "tile_pyramid_stats",
         "tile_pyramid_stats_geodetic",
         "skew_census",
@@ -214,6 +216,26 @@ def test_quantile_sketch_accuracy(registry):
     for q, v in zip(est["q"], est["price"]):
         rank = np.searchsorted(prices, v, side="right") / len(prices)
         assert abs(rank - q) <= 0.01, (q, v, rank)
+
+
+def test_grouped_quantile_sketch_accuracy(registry):
+    """Per-group sketch estimates within 1% absolute rank of the
+    target inside each group's own CDF."""
+    import numpy as np
+
+    qs, _ = registry
+    est = _to_pandas(qs["priority_quantiles_sketch"](SF))
+    raw = _duck("SELECT o_orderpriority, o_totalprice FROM orders")
+    for _, row in est.iterrows():
+        grp = np.sort(
+            raw.loc[
+                raw["o_orderpriority"] == row["o_orderpriority"],
+                "o_totalprice",
+            ].to_numpy()
+        )
+        for q, c in ((0.25, "p25"), (0.5, "p50"), (0.75, "p75")):
+            rank = np.searchsorted(grp, row[c], side="right") / len(grp)
+            assert abs(rank - q) <= 0.01, (row["o_orderpriority"], q, rank)
 
 
 def test_ivf_recall_vs_brute(registry):

@@ -302,10 +302,10 @@ def test_unknown_srs_raises():
     from tilers_tools_ray import raster
 
     gt = [0.0, 1.0, 0.0, 0.0, 0.0, -1.0]
-    # EPSG:32633 (UTM) is now implemented via proj.py; Lambert-93 and
-    # sinusoidal remain unprojectable and must still raise
+    # UTM (EPSG:326xx) and the lcc/aea conics (incl. EPSG:2154) are
+    # implemented via proj.py; sinusoidal/LAEA remain unprojectable
     with pytest.raises(ValueError, match="unsupported srs"):
-        raster.footprint_bbox_merc(gt, 10, 10, "EPSG:2154")
+        raster.footprint_bbox_merc(gt, 10, 10, "EPSG:3035")
     with pytest.raises(ValueError, match="unsupported srs"):
         raster._source_coords(gt, "ESRI:54008", 5, np.arange(4), np.arange(4))
 

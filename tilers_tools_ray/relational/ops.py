@@ -500,3 +500,61 @@ def quantile_sketch(ds, col, qs=(0.25, 0.5, 0.75), B=4096, batch_size=65536):
     total = float(wts.sum())
     cw = np.cumsum(wts) - 0.5 * wts
     return np.interp(np.asarray(qs, dtype=np.float64) * total, cw, vals)
+
+
+def grouped_quantile_sketch(
+    ds, col, group_col, qs=(0.25, 0.5, 0.75), B=1024, batch_size=65536
+):
+    """Per-GROUP approximate quantiles with the same mergeable summary
+    as :func:`quantile_sketch`: each batch thins every group it holds
+    to ≤ ``B`` (value, weight) rows, so only B × groups × blocks
+    summary rows shuffle, and the grouped merge runs as a distributed
+    Ray groupby (group cardinality can be large — per-group answers
+    are all that reach the driver). Returns a DataFrame
+    (group_col, q25.., sorted by group) with one column per requested
+    quantile, named ``p{int(100q)}``."""
+    B = int(B)
+    qarr = np.asarray(qs, dtype=np.float64)
+    names = [f"p{int(round(q * 100)):02d}" for q in qarr]
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        gs, vs, ws = [], [], []
+        for gval, sub in batch.groupby(group_col, sort=False):
+            v = np.sort(sub[col].to_numpy(dtype=np.float64))
+            if len(v) > B:
+                idx = ((np.arange(B) + 0.5) * (len(v) / B)).astype(np.int64)
+                w = np.full(B, len(v) / B)
+                v = v[idx]
+            else:
+                w = np.ones(len(v))
+            gs.append(np.repeat(gval, len(v)))
+            vs.append(v)
+            ws.append(w)
+        return pd.DataFrame(
+            {
+                group_col: np.concatenate(gs) if gs else [],
+                "qv": np.concatenate(vs) if vs else [],
+                "qw": np.concatenate(ws) if ws else [],
+            }
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        v = g["qv"].to_numpy()
+        w = g["qw"].to_numpy()
+        order = np.argsort(v, kind="stable")
+        v, w = v[order], w[order]
+        cw = np.cumsum(w) - 0.5 * w
+        est = np.interp(qarr * float(w.sum()), cw, v)
+        out = {group_col: [g[group_col].iloc[0]]}
+        for n, e in zip(names, est):
+            out[n] = [e]
+        return pd.DataFrame(out)
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas", batch_size=batch_size)
+        .materialize()  # pin partials before the all-to-all (see exact_dedup)
+        .groupby(group_col)
+        .map_groups(merge, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(group_col).reset_index(drop=True)

@@ -563,6 +563,24 @@ def order_price_quantile_sketch(sf_dir):
     )
 
 
+def priority_quantiles_sketch(sf_dir):
+    """Per-priority approximate price quantiles via the GROUPED
+    mergeable summary (ops.grouped_quantile_sketch) — the scale path
+    for ``order_price_quantiles``' exact map_groups (whose docstring
+    names exactly this swap): only B × groups × blocks summary rows
+    shuffle instead of every order. Rows-only; accuracy vs the exact
+    per-group CDF asserted by test_grouped_quantile_sketch_accuracy."""
+    orders = ops.read(
+        sf_dir, "orders", columns=["o_orderpriority", "o_totalprice"]
+    )
+    out = ops.grouped_quantile_sketch(
+        orders, "o_totalprice", "o_orderpriority", qs=(0.25, 0.5, 0.75)
+    )
+    for c in ("p25", "p50", "p75"):
+        out[c] = out[c].round(2)
+    return out
+
+
 def top_orders_by_price(sf_dir):
     orders = ops.read(
         sf_dir, "orders", columns=["o_orderkey", "o_orderstatus", "o_totalprice"]
@@ -1152,6 +1170,66 @@ ORDER BY o_custkey, order_seq
 """
 
 
+def customer_cumulative_spend(sf_dir):
+    """Running-total window (SUM OVER unbounded-preceding frame):
+    cumulative spend in exact int64 cents and running order count per
+    customer, ordered by date. Same customer-bucketed shape as
+    ``customer_order_windows`` — grouped cumsum/cumcount vectorized
+    ACROSS customers inside each coarse group, one shuffle total."""
+    from .dedup import _adaptive_coarse
+
+    orders = ops.read(
+        sf_dir,
+        "orders",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+    n_buckets = _adaptive_coarse(orders.count(), per_group_target=100_000)
+
+    def key(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["__ub"] = (
+            pd.util.hash_array(b["o_custkey"].to_numpy()) % n_buckets
+        ).astype("int64")
+        return b
+
+    def running(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+        cents = np.rint(g["o_totalprice"].to_numpy() * 100.0).astype(np.int64)
+        grp = g.groupby("o_custkey", sort=False)
+        return pd.DataFrame(
+            {
+                "o_orderkey": g["o_orderkey"].to_numpy(dtype=np.int64),
+                "o_custkey": g["o_custkey"].to_numpy(dtype=np.int64),
+                "n_orders_so_far": (grp.cumcount() + 1).to_numpy(
+                    dtype=np.int64
+                ),
+                "cum_spend_cents": pd.Series(cents)
+                .groupby(g["o_custkey"].to_numpy(), sort=False)
+                .cumsum()
+                .to_numpy(dtype=np.int64),
+            }
+        )
+
+    out = (
+        orders.map_batches(key, batch_format="pandas")
+        .groupby("__ub")
+        .map_groups(running, batch_format="pandas")
+    )
+    return out.sort(["o_custkey", "n_orders_so_far"])
+
+
+CUMSPEND_SQL = """
+SELECT o_orderkey, o_custkey,
+       CAST(row_number() OVER w AS BIGINT) AS n_orders_so_far,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w
+            AS BIGINT) AS cum_spend_cents
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS UNBOUNDED PRECEDING)
+ORDER BY o_custkey, n_orders_so_far
+"""
+
+
 # ---------------------------------------------------------------------------
 # documents: text analysis + dedup
 # ---------------------------------------------------------------------------
@@ -1704,6 +1782,8 @@ QUERIES = {
     "event_users_hll": event_users_hll,
     "doc_top_terms": doc_top_terms,
     "order_price_quantile_sketch": order_price_quantile_sketch,
+    "priority_quantiles_sketch": priority_quantiles_sketch,
+    "customer_cumulative_spend": customer_cumulative_spend,
     "top_orders_by_price": top_orders_by_price,
     "top_orders_per_segment": top_orders_per_segment,
     "sample_documents_hash": sample_documents_hash,
@@ -1762,6 +1842,7 @@ ORACLES = {
     "events_sliding_window": SLIDING_SQL,
     "events_asof_last_click": ASOF_SQL,
     "customer_order_windows": WINDOWS_SQL,
+    "customer_cumulative_spend": CUMSPEND_SQL,
     "brand_volume": BRAND_SQL,
     "orders_price_band_join": BAND_JOIN_SQL,
     "order_price_quantiles": QUANTILES_SQL,
