@@ -101,6 +101,33 @@ def test_conic_parse_errors():
     assert proj.parse_srs("EPSG:4326") is None  # builtin stays builtin
 
 
+def test_degenerate_cones_fail_loudly():
+    """n = 0 / NaN cones must raise, not emit inf/NaN coordinates."""
+    for bad in (
+        "+proj=lcc +lat_1=0",
+        "+proj=lcc +lat_1=30 +lat_2=-30",
+        "+proj=lcc +lat_1=90",
+        "+proj=aea +lat_1=0",
+    ):
+        with pytest.raises(ValueError, match="degenerate"):
+            proj.parse_srs(bad)
+
+
+def test_non_wgs84_datum_spellings_fail_loudly():
+    """Every proj4 spelling of a non-WGS84 datum is rejected — NAD27
+    Lambert charts computed silently on WGS84 would land ~100m off."""
+    for bad in (
+        "+proj=lcc +lat_1=33 +lat_2=45 +datum=NAD27",
+        "+proj=utm +zone=15 +datum=NAD27",
+        "+proj=lcc +lat_1=33 +a=6378206.4 +b=6356583.8",
+        "+proj=tmerc +lon_0=9 +towgs84=598.1,73.7,418.2",
+    ):
+        with pytest.raises(ValueError):
+            proj.parse_srs(bad)
+    # a zero shift is WGS84 by another name — accepted
+    assert proj.parse_srs("+proj=utm +zone=33 +towgs84=0,0,0") is not None
+
+
 def _tiles_to_dict(df):
     from tilers_tools_ray.stages.tiling import unpack_pixels
 

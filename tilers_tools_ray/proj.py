@@ -173,6 +173,28 @@ class Tmerc:
         return self.lon0 + np.degrees(lam), np.degrees(phi)
 
 
+def _check_datum_kv(kv, srs):
+    """Reject proj4 strings whose datum/ellipsoid is NOT WGS84/GRS80 —
+    computing them on WGS84 anyway would silently shift charts by up
+    to a few hundred meters (NAD27 Lambert State Plane is the classic
+    case). Checks every spelling: +ellps, +datum, explicit +a/+b/+R/
+    +rf axes, and non-zero +towgs84 shifts."""
+    if kv.get("ellps", "WGS84") not in ("WGS84", "GRS80"):
+        raise ValueError(f"unsupported ellipsoid in {srs!r}: WGS84/GRS80 only")
+    if kv.get("datum", "WGS84") not in ("WGS84",):
+        raise ValueError(f"unsupported datum in {srs!r}: WGS84 only")
+    for ax in ("a", "b", "R", "rf"):
+        if ax in kv:
+            raise ValueError(
+                f"custom ellipsoid axis +{ax}= in {srs!r}: WGS84/GRS80 only"
+            )
+    tow = kv.get("towgs84")
+    if tow and any(abs(float(p)) > 1e-9 for p in tow.split(",")):
+        raise ValueError(
+            f"non-zero +towgs84 shift in {srs!r}: datum shifts not implemented"
+        )
+
+
 _UTM_EPSG_RE = re.compile(r"^EPSG:32([67])(\d{2})$")
 _P4_UTM_RE = re.compile(r"\+proj=utm\b")
 _P4_TMERC_RE = re.compile(r"\+proj=tmerc\b")
@@ -212,10 +234,7 @@ def parse_srs(srs):
         )
     if _P4_UTM_RE.search(s) or _P4_TMERC_RE.search(s):
         kv = {m.group(1): m.group(2) for m in _P4_KV_RE.finditer(s)}
-        if kv.get("ellps", "WGS84") not in ("WGS84", "GRS80"):
-            raise ValueError(
-                f"unsupported ellipsoid in {srs!r}: WGS84/GRS80 only"
-            )
+        _check_datum_kv(kv, srs)
         if _P4_UTM_RE.search(s):
             if "zone" not in kv or kv["zone"] is None:
                 raise ValueError(f"+proj=utm needs +zone= in {srs!r}")
@@ -268,6 +287,19 @@ def _conic_q(phi):
     )
 
 
+def _check_cone(n, lat1, lat2):
+    """Fail loudly (raster.py policy) on degenerate cone constants:
+    symmetric-about-equator or equatorial parallels give n = 0 (the
+    cone opens into a cylinder — that's what Mercator is for), polar
+    parallels give NaN/inf."""
+    if not np.isfinite(n) or abs(n) < 1e-12:
+        raise ValueError(
+            f"degenerate conic standard parallels (lat_1={lat1}, "
+            f"lat_2={lat2}): cone constant n={n!r}; a conic projection "
+            "needs parallels in one hemisphere away from 0/90 deg"
+        )
+
+
 def _phi_from_t(t):
     """Invert Snyder 15-9 for φ (eq. 7-9 iteration; converges in <6)."""
     phi = np.pi / 2.0 - 2.0 * np.arctan(t)
@@ -296,17 +328,26 @@ class Lcc:
         self.lat0, self.lon0 = float(lat0), float(lon0)
         self.k0, self.x0, self.y0 = float(k0), float(x0), float(y0)
         p1, p2 = np.radians(self.lat1), np.radians(self.lat2)
-        m1, t1 = _conic_m(p1), _conic_t(p1)
-        if abs(self.lat1 - self.lat2) < 1e-12:
-            self._n = float(np.sin(p1))
-        else:
-            m2, t2 = _conic_m(p2), _conic_t(p2)
-            self._n = float((np.log(m1) - np.log(m2)) / (np.log(t1) - np.log(t2)))
-        self._f = float(m1 / (self._n * t1**self._n))
-        self._rho0 = float(
-            WGS84_A * self._f * self.k0
-            * _conic_t(np.radians(self.lat0)) ** self._n
-        )
+        with np.errstate(divide="ignore", invalid="ignore"):
+            m1, t1 = _conic_m(p1), _conic_t(p1)
+            if abs(self.lat1 - self.lat2) < 1e-12:
+                self._n = float(np.sin(p1))
+            else:
+                m2, t2 = _conic_m(p2), _conic_t(p2)
+                self._n = float(
+                    (np.log(m1) - np.log(m2)) / (np.log(t1) - np.log(t2))
+                )
+            _check_cone(self._n, self.lat1, self.lat2)
+            self._f = float(m1 / (self._n * t1**self._n))
+            self._rho0 = float(
+                WGS84_A * self._f * self.k0
+                * _conic_t(np.radians(self.lat0)) ** self._n
+            )
+        if not (np.isfinite(self._f) and np.isfinite(self._rho0)):
+            raise ValueError(
+                f"degenerate Lambert cone (lat_1={self.lat1}, "
+                f"lat_2={self.lat2}, lat_0={self.lat0})"
+            )
 
     def __eq__(self, other):
         return isinstance(other, Lcc) and all(
@@ -355,18 +396,25 @@ class Aea:
         self.lat0, self.lon0 = float(lat0), float(lon0)
         self.x0, self.y0 = float(x0), float(y0)
         p1, p2 = np.radians(self.lat1), np.radians(self.lat2)
-        m1, q1 = _conic_m(p1), _conic_q(p1)
-        if abs(self.lat1 - self.lat2) < 1e-12:
-            self._n = float(np.sin(p1))
-        else:
-            m2, q2 = _conic_m(p2), _conic_q(p2)
-            self._n = float((m1 * m1 - m2 * m2) / (q2 - q1))
-        self._c = float(m1 * m1 + self._n * q1)
-        self._rho0 = float(
-            WGS84_A
-            * np.sqrt(self._c - self._n * _conic_q(np.radians(self.lat0)))
-            / self._n
-        )
+        with np.errstate(divide="ignore", invalid="ignore"):
+            m1, q1 = _conic_m(p1), _conic_q(p1)
+            if abs(self.lat1 - self.lat2) < 1e-12:
+                self._n = float(np.sin(p1))
+            else:
+                m2, q2 = _conic_m(p2), _conic_q(p2)
+                self._n = float((m1 * m1 - m2 * m2) / (q2 - q1))
+            _check_cone(self._n, self.lat1, self.lat2)
+            self._c = float(m1 * m1 + self._n * q1)
+            self._rho0 = float(
+                WGS84_A
+                * np.sqrt(self._c - self._n * _conic_q(np.radians(self.lat0)))
+                / self._n
+            )
+        if not (np.isfinite(self._c) and np.isfinite(self._rho0)):
+            raise ValueError(
+                f"degenerate Albers cone (lat_1={self.lat1}, "
+                f"lat_2={self.lat2}, lat_0={self.lat0})"
+            )
 
     def __eq__(self, other):
         return isinstance(other, Aea) and all(
@@ -440,8 +488,7 @@ def _parse_conic(srs):
     if not (is_lcc or is_aea):
         return None
     kv = {m.group(1): m.group(2) for m in _P4_KV_RE.finditer(s)}
-    if kv.get("ellps", "WGS84") not in ("WGS84", "GRS80"):
-        raise ValueError(f"unsupported ellipsoid in {srs!r}: WGS84/GRS80 only")
+    _check_datum_kv(kv, srs)
     if "lat_1" not in kv or kv["lat_1"] is None:
         raise ValueError(f"+proj={'lcc' if is_lcc else 'aea'} needs +lat_1= in {srs!r}")
     lat1 = float(kv["lat_1"])

@@ -42,6 +42,19 @@ def _adaptive_coarse(n_rows, per_group_target=100_000, lo=64, hi=65_536):
     return int(min(hi, max(lo, -(-int(n_rows) // per_group_target))))
 
 
+def _coarse_bucket(df, key_col, n_buckets, out_col="__ub"):
+    """Attach the coarse-shuffle bucket key hash(key) % n_buckets used
+    by every user/customer/order-bucketed stage (sessionize, windows,
+    q10/q18 reduces). Single definition on purpose: the hash choice
+    must change in lockstep across all of them, or a two-stage
+    pipeline would split one key across buckets. Mutates ``df``
+    (callers copy first when the frame is shared)."""
+    df[out_col] = (
+        pd.util.hash_array(df[key_col].to_numpy()) % n_buckets
+    ).astype("int64")
+    return df
+
+
 # ---------------------------------------------------------------------------
 # exact dedup (D3): partial min per batch → grouped Min
 # ---------------------------------------------------------------------------

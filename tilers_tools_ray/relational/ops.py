@@ -477,13 +477,8 @@ def quantile_sketch(ds, col, qs=(0.25, 0.5, 0.75), B=4096, batch_size=65536):
         return v[idx], np.full(k, total / k)
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        v = np.sort(batch[col].to_numpy(dtype=np.float64))
-        if len(v) > B:
-            idx = ((np.arange(B) + 0.5) * (len(v) / B)).astype(np.int64)
-            return pd.DataFrame(
-                {"qv": v[idx], "qw": np.full(B, len(v) / B)}
-            )
-        return pd.DataFrame({"qv": v, "qw": np.ones(len(v))})
+        v, w = _thin_sorted_values(batch[col].to_numpy(), B)
+        return pd.DataFrame({"qv": v, "qw": w})
 
     summaries = ds.map_batches(
         partial, batch_format="pandas", batch_size=batch_size
@@ -495,11 +490,25 @@ def quantile_sketch(ds, col, qs=(0.25, 0.5, 0.75), B=4096, batch_size=65536):
         wts = np.concatenate([wts, b["qw"].to_numpy()])
         if len(vals) > 16 * B:
             vals, wts = thin(vals, wts, B)
+    if len(vals) == 0:  # empty input: quantiles undefined, not a crash
+        return np.full(len(np.atleast_1d(qs)), np.nan)
     order = np.argsort(vals, kind="stable")
     vals, wts = vals[order], wts[order]
     total = float(wts.sum())
     cw = np.cumsum(wts) - 0.5 * wts
     return np.interp(np.asarray(qs, dtype=np.float64) * total, cw, vals)
+
+
+def _thin_sorted_values(raw, B):
+    """Sort a raw value array and thin it to ≤ B rank-uniform
+    (value, weight) points — the shared per-batch summary step of
+    both quantile-sketch paths (the +0.5 rank offset must stay
+    identical between them)."""
+    v = np.sort(np.asarray(raw, dtype=np.float64))
+    if len(v) > B:
+        idx = ((np.arange(B) + 0.5) * (len(v) / B)).astype(np.int64)
+        return v[idx], np.full(B, len(v) / B)
+    return v, np.ones(len(v))
 
 
 def grouped_quantile_sketch(
@@ -520,13 +529,7 @@ def grouped_quantile_sketch(
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         gs, vs, ws = [], [], []
         for gval, sub in batch.groupby(group_col, sort=False):
-            v = np.sort(sub[col].to_numpy(dtype=np.float64))
-            if len(v) > B:
-                idx = ((np.arange(B) + 0.5) * (len(v) / B)).astype(np.int64)
-                w = np.full(B, len(v) / B)
-                v = v[idx]
-            else:
-                w = np.ones(len(v))
+            v, w = _thin_sorted_values(sub[col].to_numpy(), B)
             gs.append(np.repeat(gval, len(v)))
             vs.append(v)
             ws.append(w)

@@ -270,16 +270,15 @@ def q10_returned_items(sf_dir):
     # hash(custkey) so each customer lands wholly in one group and the
     # reduce is vectorized ACROSS customers (the _user_bucketed trick);
     # a per-bucket top-20 is a valid partial for the global top-20.
-    from .dedup import _adaptive_coarse
+    from .dedup import _adaptive_coarse, _coarse_bucket
 
     n_buckets = _adaptive_coarse(orders.count(), per_group_target=200_000)
 
     def bucket(b: pd.DataFrame) -> pd.DataFrame:
-        b = b[["o_custkey", "revenue", "n_items"]].copy()
-        b["__ub"] = (
-            pd.util.hash_array(b["o_custkey"].to_numpy()) % n_buckets
-        ).astype("int64")
-        return b
+        return _coarse_bucket(
+            b[["o_custkey", "revenue", "n_items"]].copy(),
+            "o_custkey", n_buckets,
+        )
 
     def reduce_top(g: pd.DataFrame) -> pd.DataFrame:
         agg = g.groupby("o_custkey", as_index=False, sort=False).agg(
@@ -349,7 +348,7 @@ def q18_large_orders(sf_dir, qty_threshold=300):
     the reduce, and the orders/customer dimensions are fetched by
     semi-filter for exactly those winners (neither table is broadcast
     or collected whole)."""
-    from .dedup import _adaptive_coarse
+    from .dedup import _adaptive_coarse, _coarse_bucket
 
     li = ops.read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
     n_buckets = _adaptive_coarse(li.count(), per_group_target=500_000)
@@ -358,10 +357,7 @@ def q18_large_orders(sf_dir, qty_threshold=300):
         agg = b.groupby("l_orderkey", as_index=False, sort=False).agg(
             qty=("l_quantity", "sum")
         )
-        agg["__ub"] = (
-            pd.util.hash_array(agg["l_orderkey"].to_numpy()) % n_buckets
-        ).astype("int64")
-        return agg
+        return _coarse_bucket(agg, "l_orderkey", n_buckets)
 
     def having(g: pd.DataFrame) -> pd.DataFrame:
         agg = g.groupby("l_orderkey", as_index=False, sort=False).agg(
@@ -794,7 +790,7 @@ def _user_bucketed(ev):
     scales with the event count (one group ≈ one task's memory — a
     fixed 64 would make each group 1/64 of a 10⁹-user table); the
     count() is a parquet-metadata fast path on a fresh read."""
-    from .dedup import _adaptive_coarse
+    from .dedup import _adaptive_coarse, _coarse_bucket
 
     try:
         n_buckets = _adaptive_coarse(ev.count(), per_group_target=100_000)
@@ -802,11 +798,7 @@ def _user_bucketed(ev):
         n_buckets = 64
 
     def key(b: pd.DataFrame) -> pd.DataFrame:
-        b = b.copy()
-        b["__ub"] = (
-            pd.util.hash_array(b["user_id"].to_numpy()) % n_buckets
-        ).astype("int64")
-        return b
+        return _coarse_bucket(b.copy(), "user_id", n_buckets)
 
     return ev.map_batches(key, batch_format="pandas").groupby("__ub")
 
@@ -1111,7 +1103,7 @@ def customer_order_windows(sf_dir):
     orders move through exactly one shuffle. First-order rows get
     gap_us = -1 and price_delta_cents = 0 (no NULLs — the driver
     value-hash has no null story)."""
-    from .dedup import _adaptive_coarse
+    from .dedup import _adaptive_coarse, _coarse_bucket
 
     orders = ops.read(
         sf_dir,
@@ -1124,11 +1116,7 @@ def customer_order_windows(sf_dir):
         n_buckets = 64
 
     def key(b: pd.DataFrame) -> pd.DataFrame:
-        b = b.copy()
-        b["__ub"] = (
-            pd.util.hash_array(b["o_custkey"].to_numpy()) % n_buckets
-        ).astype("int64")
-        return b
+        return _coarse_bucket(b.copy(), "o_custkey", n_buckets)
 
     def windows(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
@@ -1176,7 +1164,7 @@ def customer_cumulative_spend(sf_dir):
     customer, ordered by date. Same customer-bucketed shape as
     ``customer_order_windows`` — grouped cumsum/cumcount vectorized
     ACROSS customers inside each coarse group, one shuffle total."""
-    from .dedup import _adaptive_coarse
+    from .dedup import _adaptive_coarse, _coarse_bucket
 
     orders = ops.read(
         sf_dir,
@@ -1186,11 +1174,7 @@ def customer_cumulative_spend(sf_dir):
     n_buckets = _adaptive_coarse(orders.count(), per_group_target=100_000)
 
     def key(b: pd.DataFrame) -> pd.DataFrame:
-        b = b.copy()
-        b["__ub"] = (
-            pd.util.hash_array(b["o_custkey"].to_numpy()) % n_buckets
-        ).astype("int64")
-        return b
+        return _coarse_bucket(b.copy(), "o_custkey", n_buckets)
 
     def running(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
