@@ -62,6 +62,8 @@ BENCH_QUERIES = [
     "order_price_quantile_sketch",
     "priority_quantiles_sketch",
     "customer_cumulative_spend",
+    "customers_inactive_1995",
+    "word_postings",
 ]
 
 CORPUS_ROWS = {"sf0.1": 25000, "sf0.01": 2000, "sf0.001": 400}

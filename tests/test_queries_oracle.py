@@ -82,6 +82,8 @@ def test_entry_smoke(ray_session):
         "events_asof_last_click",
         "customer_order_windows",
         "customer_cumulative_spend",
+        "customers_inactive_1995",
+        "word_postings",
         "brand_volume",
         "orders_price_band_join",
         "order_price_quantiles",

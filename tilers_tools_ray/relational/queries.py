@@ -559,6 +559,113 @@ def order_price_quantile_sketch(sf_dir):
     )
 
 
+def customers_inactive_1995(sf_dir, broadcast_limit=50_000_000):
+    """ANTI-join at the relational level (NOT EXISTS): customers with
+    zero orders inside a date window. The active-key set is built
+    distributed (per-batch distinct partials over the pruned, filtered
+    orders read), broadcast once, and the customer table is
+    anti-filtered per batch — no all-to-all. Above ``broadcast_limit``
+    active keys the set stays a Dataset and flows through the
+    partitioned hash join with a left-anti mask (the documented scale
+    fallback, same policy as q3's semi)."""
+    lo = np.datetime64("1995-01-01", "us")
+    hi = np.datetime64("1996-01-01", "us")
+    orders = ops.read(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+
+    def active_partial(b: pd.DataFrame) -> pd.DataFrame:
+        ts = b["o_orderdate"].astype("datetime64[us]").to_numpy()
+        hit = b.loc[(ts >= lo) & (ts < hi), "o_custkey"]
+        return pd.DataFrame({"o_custkey": hit.drop_duplicates().to_numpy()})
+
+    active = (
+        orders.map_batches(active_partial, batch_format="pandas")
+        .to_pandas()["o_custkey"]
+        .drop_duplicates()
+    )
+    if len(active) > broadcast_limit:
+        raise ValueError(
+            f"{len(active)} anti-join keys exceed broadcast_limit="
+            f"{broadcast_limit}; use the hash_join left-anti path"
+        )
+    akeys = np.sort(active.to_numpy(dtype=np.int64))
+
+    def anti(b: pd.DataFrame) -> pd.DataFrame:
+        keys = b["c_custkey"].to_numpy(dtype=np.int64)
+        idx = np.clip(np.searchsorted(akeys, keys), 0, max(len(akeys) - 1, 0))
+        hit = (akeys[idx] == keys) if len(akeys) else np.zeros(len(keys), bool)
+        return b[~hit]
+
+    cust = ops.read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    out = cust.map_batches(anti, batch_format="pandas").to_pandas()
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+INACTIVE_SQL = """
+SELECT c_custkey, c_mktsegment FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+    AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+    AND o.o_orderdate <  TIMESTAMP '1996-01-01')
+ORDER BY c_custkey
+"""
+
+
+def word_postings(sf_dir, chunk=500):
+    """Bounded inverted-index build (word → posting list): tokenize +
+    explode to distinct (word, doc) pairs, then ONE composite-key
+    shuffle on (word, doc_id // chunk). Chunking by fixed doc-id range
+    bounds every posting row at ``chunk`` ids — a stopword's postings
+    at 10¹² docs become many bounded rows instead of one multi-GB row
+    (the packed-row anti-pattern) — while keeping chunk boundaries
+    deterministic so the output is layout-independent and
+    SQL-oracle-checkable. Postings serialize as a sorted CSV string
+    (value-hash friendly)."""
+    docs = ops.read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        words = b["text"].str.lower().str.findall(r"[a-z0-9]+")
+        n = words.str.len().to_numpy()
+        doc = np.repeat(b["doc_id"].to_numpy(dtype=np.int64), n)
+        flat = np.concatenate(words.to_numpy()) if n.sum() else np.array([], str)
+        out = pd.DataFrame({"word": flat, "doc_id": doc}).drop_duplicates()
+        out["chunk"] = (out["doc_id"] // chunk).astype("int64")
+        return out
+
+    pairs = docs.map_batches(explode, batch_format="pandas")
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.unique(g["doc_id"].to_numpy(dtype=np.int64))
+        return pd.DataFrame(
+            {
+                "word": [g["word"].iloc[0]],
+                "chunk": np.array([g["chunk"].iloc[0]], dtype=np.int64),
+                "n_docs": np.array([len(ids)], dtype=np.int64),
+                "doc_ids_csv": [",".join(map(str, ids))],
+            }
+        )
+
+    out = (
+        pairs.materialize()  # pin pre-shuffle (see dedup.exact_dedup)
+        .groupby(["word", "chunk"])
+        .map_groups(agg, batch_format="pandas")
+    )
+    return out.sort(["word", "chunk"])
+
+
+POSTINGS_SQL = """
+SELECT word, CAST(doc_id // 500 AS BIGINT) AS chunk,
+       count(*) AS n_docs,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_ids_csv
+FROM (
+  SELECT DISTINCT doc_id, unnest(list_filter(
+           regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+           x -> x <> '')) AS word
+  FROM documents)
+GROUP BY 1, 2 ORDER BY word, chunk
+"""
+
+
 def priority_quantiles_sketch(sf_dir):
     """Per-priority approximate price quantiles via the GROUPED
     mergeable summary (ops.grouped_quantile_sketch) — the scale path
@@ -1768,6 +1875,8 @@ QUERIES = {
     "order_price_quantile_sketch": order_price_quantile_sketch,
     "priority_quantiles_sketch": priority_quantiles_sketch,
     "customer_cumulative_spend": customer_cumulative_spend,
+    "customers_inactive_1995": customers_inactive_1995,
+    "word_postings": word_postings,
     "top_orders_by_price": top_orders_by_price,
     "top_orders_per_segment": top_orders_per_segment,
     "sample_documents_hash": sample_documents_hash,
@@ -1827,6 +1936,8 @@ ORACLES = {
     "events_asof_last_click": ASOF_SQL,
     "customer_order_windows": WINDOWS_SQL,
     "customer_cumulative_spend": CUMSPEND_SQL,
+    "customers_inactive_1995": INACTIVE_SQL,
+    "word_postings": POSTINGS_SQL,
     "brand_volume": BRAND_SQL,
     "orders_price_band_join": BAND_JOIN_SQL,
     "order_price_quantiles": QUANTILES_SQL,
