@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "customer_cumulative_spend",
     "customers_inactive_1995",
     "word_postings",
+    "dedup_clean_images",
 ]
 
 CORPUS_ROWS = {"sf0.1": 25000, "sf0.01": 2000, "sf0.001": 400}

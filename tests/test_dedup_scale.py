@@ -485,3 +485,43 @@ def test_hamming_blocks_scheme_equals_bands(ray_session):
     pd.testing.assert_frame_equal(
         a.reset_index(drop=True), b.reset_index(drop=True)
     )
+
+
+def test_clean_image_corpus_planted(ray_session):
+    """Planted phash clusters: exact copies (same phash), a 1-bit
+    near copy, and far singletons — every member maps to its
+    cluster-minimum image_id, singletons to themselves."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from tilers_tools_ray.relational import dedup
+
+    h1 = 0x1234_5678_9ABC_DEF0
+    h2 = h1 ^ 0x1  # 1-bit near copy of h1
+    h3 = 0x0FED_CBA9_8765_4321  # far away (hamming >> 6)
+    rows = pd.DataFrame(
+        {
+            "image_id": [
+                "img-0000",  # cluster A (h1)
+                "img-0001",  # exact copy of A
+                "img-0002",  # near copy (h2)
+                "img-0003",  # singleton (h3)
+                "img-0004",  # singleton (h3 ^ many bits)
+            ],
+            "phash": np.array(
+                [h1, h1, h2, h3, h3 ^ 0xFFFF_0000], dtype=np.int64
+            ),
+        }
+    )
+    out = (
+        dedup.clean_image_corpus(rd.from_pandas(rows), max_hamming=6)
+        .to_pandas()
+        .set_index("image_id")
+    )
+    assert out.loc["img-0000", "canonical_id"] == "img-0000"
+    assert out.loc["img-0001", "canonical_id"] == "img-0000"
+    assert out.loc["img-0002", "canonical_id"] == "img-0000"
+    assert out.loc["img-0003", "canonical_id"] == "img-0003"
+    assert out.loc["img-0004", "canonical_id"] == "img-0004"
+    assert out["is_canonical"].sum() == 3

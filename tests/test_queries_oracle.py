@@ -131,6 +131,7 @@ def test_oracle_match(registry, name):
         "knn_nearest_regions",
         "phash_dedup_images",
         "phash_near_dup_images",
+        "dedup_clean_images",
         "parse_georef_sidecars",
     ],
 )

@@ -1048,3 +1048,102 @@ def ngram_jaccard_matrix(texts, k=3):
             u = len(sets[i] | sets[j])
             out[i, j] = out[j, i] = len(sets[i] & sets[j]) / max(u, 1)
     return out
+
+
+def clean_image_corpus(images_ds, *, max_hamming=6, n_coarse=None):
+    """End-to-end IMAGE corpus dedup → one canonical survivor per
+    near-duplicate cluster, the image twin of :func:`clean_corpus`.
+
+    Components run over the PHASH space, not image ids: nodes are
+    distinct 64-bit perceptual hashes (byte-identical and re-encoded
+    copies share a node for free — the "exact" edge family collapses
+    into the graph), edges are hamming ≤ k pairs from the banded
+    pigeonhole core (:func:`hamming_band_pairs` — (id, phash) rows
+    only, pixels never move). The node domain being int64 keeps the
+    component step swappable for :func:`_cc_label_propagation` at
+    10¹² scale (string image ids never enter the CC); here the driver
+    union-find over the EDGE list (≪ corpus) is the fast path, same
+    policy/bound as clean_corpus's driver mode.
+
+    Canonical selection is distributed: map each image to its phash
+    component, grouped ``Min`` on image_id per component, hash-join
+    the winners back. Returns (image_id, canonical_id, is_canonical)
+    sorted by image_id."""
+    import pyarrow as pa
+    import ray
+    from ray.data.aggregate import Min
+
+    slim = images_ds.select_columns(["image_id", "phash"]).materialize()
+
+    def uniq(b: pd.DataFrame) -> pa.Table:
+        u = np.unique(b["phash"].to_numpy(dtype=np.int64))
+        return pa.table({"pid": u, "ph": u})
+
+    sig = slim.map_batches(uniq, batch_format="pandas")
+    edges = hamming_band_pairs(
+        sig, id_col="pid", hash_col="ph", max_hamming=max_hamming,
+        n_coarse=n_coarse,
+    )
+
+    # driver union-find over phash edges (|edges| ≪ corpus)
+    parent = {}
+
+    def find(a):
+        while parent.get(a, a) != a:
+            parent[a] = parent.get(parent[a], parent[a])
+            a = parent[a]
+        return a
+
+    for a, b in zip(edges["doc_a"], edges["doc_b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    label = {p: find(p) for p in list(parent)}
+    lref = ray.put(label)
+
+    class CompOf:
+        def __init__(self):
+            self.label = ray.get(lref)
+
+        def __call__(self, b: pd.DataFrame) -> pa.Table:
+            ph = b["phash"].to_numpy(dtype=np.int64)
+            comp = np.fromiter(
+                (self.label.get(int(p), int(p)) for p in ph),
+                dtype=np.int64,
+                count=len(ph),
+            )
+            return pa.table(
+                {"image_id": b["image_id"].to_numpy(dtype=object), "comp": comp}
+            )
+
+    comp_ds = slim.map_batches(
+        CompOf, batch_format="pandas", batch_size=65536, concurrency=2
+    ).materialize()  # consumed twice: grouped Min + join back
+    canon = comp_ds.groupby("comp").aggregate(
+        Min("image_id", alias_name="canonical_id")
+    )
+    joined = comp_ds.join(
+        canon, "inner", 8, on=("comp",)
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        if "image_id" not in b.columns:  # empty-schema sentinel block
+            return pd.DataFrame(
+                {
+                    "image_id": pd.array([], dtype="str"),
+                    "canonical_id": pd.array([], dtype="str"),
+                    "is_canonical": pd.array([], dtype="int64"),
+                }
+            )
+        ids = b["image_id"].to_numpy(dtype=object)
+        canon_ids = b["canonical_id"].to_numpy(dtype=object)
+        return pd.DataFrame(
+            {
+                "image_id": ids,
+                "canonical_id": canon_ids,
+                "is_canonical": (ids == canon_ids).astype("int64"),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pandas").sort("image_id")

@@ -1796,6 +1796,19 @@ def phash_near_dup_images(sf_dir):
     return dedup.phash_near_dup_pairs(ds, max_hamming=6)
 
 
+def dedup_clean_images(sf_dir):
+    """Composed image-corpus clean (rows-only): phash-space connected
+    components (exact + near dups in one int64 node domain) → one
+    canonical survivor per cluster, over the engine corpus. The image
+    twin of ``dedup_clean_corpus``."""
+    from ..pipelines import pyramid
+
+    paths = _corpus_for(sf_dir)
+    ds = pyramid.images_dataset(paths["images"], columns=["image_id", "phash"])
+    out = dedup.clean_image_corpus(ds, max_hamming=6).to_pandas()
+    return out
+
+
 def multimodal_image_features(sf_dir):
     """Rows-only: the multimodal actor-pool stage chain over the
     engine corpus — resize (decode → box-downsample → re-encode) then
@@ -1913,6 +1926,7 @@ QUERIES = {
     "knn_nearest_regions": knn_nearest_regions,
     "phash_dedup_images": phash_dedup_images,
     "phash_near_dup_images": phash_near_dup_images,
+    "dedup_clean_images": dedup_clean_images,
     "multimodal_image_features": multimodal_image_features,
     "parse_georef_sidecars": parse_georef_sidecars,
 }
