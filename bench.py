@@ -65,6 +65,8 @@ BENCH_QUERIES = [
     "customers_inactive_1995",
     "word_postings",
     "dedup_clean_images",
+    "returnflag_price_stats",
+    "segment_year_revenue_pivot",
 ]
 
 CORPUS_ROWS = {"sf0.1": 25000, "sf0.01": 2000, "sf0.001": 400}

@@ -84,6 +84,8 @@ def test_entry_smoke(ray_session):
         "customer_cumulative_spend",
         "customers_inactive_1995",
         "word_postings",
+        "returnflag_price_stats",
+        "segment_year_revenue_pivot",
         "brand_volume",
         "orders_price_band_join",
         "order_price_quantiles",

@@ -561,3 +561,48 @@ def grouped_quantile_sketch(
         .to_pandas()
     )
     return out.sort_values(group_col).reset_index(drop=True)
+
+
+def grouped_variance(ds, keys, col, batch_size=65536):
+    """Numerically-stable grouped mean/variance via mergeable Welford
+    partials: each batch reduces to one (keys, n, mean, M2) row per
+    group — the only thing that shuffles — and partials merge with the
+    parallel-variance formula (Chan et al. 1979), which is exact under
+    any merge tree (no catastrophic cancellation of sum-of-squares at
+    huge n). Driver merge is bounded by groups × blocks rows, the same
+    contract as preagg_sum_count_df. Returns a DataFrame
+    (keys..., n, mean, var_pop) sorted by keys."""
+    keys = list(keys)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby(keys, sort=False)[col]
+        agg = g.agg(["count", "mean", "var"]).reset_index()
+        n = agg["count"].to_numpy(dtype=np.float64)
+        # pandas var is ddof=1 (NaN at n=1) → M2 = var*(n-1)
+        m2 = np.where(n > 1, agg["var"].to_numpy() * (n - 1.0), 0.0)
+        agg["n"] = n
+        agg["m"] = agg["mean"]
+        agg["m2"] = m2
+        return agg[keys + ["n", "m", "m2"]]
+
+    parts = ds.map_batches(
+        partial, batch_format="pandas", batch_size=batch_size
+    ).to_pandas()  # ≤ groups × blocks rows
+
+    def merge(g: pd.DataFrame) -> pd.Series:
+        n_t, m_t, m2_t = 0.0, 0.0, 0.0
+        for n, m, m2 in zip(g["n"], g["m"], g["m2"]):
+            if n == 0:
+                continue
+            d = m - m_t
+            tot = n_t + n
+            m2_t += m2 + d * d * n_t * n / tot
+            m_t += d * n / tot
+            n_t = tot
+        return pd.Series(
+            {"n": int(n_t), "mean": m_t, "var_pop": m2_t / max(n_t, 1.0)}
+        )
+
+    out = parts.groupby(keys, sort=True).apply(merge).reset_index()
+    out["n"] = out["n"].astype("int64")
+    return out

@@ -666,6 +666,94 @@ GROUP BY 1, 2 ORDER BY word, chunk
 """
 
 
+def returnflag_price_stats(sf_dir):
+    """Grouped mean/population-stddev via mergeable Welford partials
+    (ops.grouped_variance) — one (n, mean, M2) row per group per batch
+    is all that moves, and the Chan et al. pairwise merge is exact
+    under any merge tree (no sum-of-squares cancellation at 10¹²
+    rows). Oracled against DuckDB avg/stddev_pop."""
+    li = ops.read(
+        sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice"]
+    )
+    df = ops.grouped_variance(li, ["l_returnflag"], "l_extendedprice")
+    return pd.DataFrame(
+        {
+            "l_returnflag": df["l_returnflag"],
+            "n": df["n"].astype("int64"),
+            "avg_price": df["mean"].round(2),
+            "stddev_price": np.sqrt(df["var_pop"]).round(2),
+        }
+    ).sort_values("l_returnflag").reset_index(drop=True)
+
+
+VARIANCE_SQL = """
+SELECT l_returnflag, count(*) AS n,
+       round(avg(l_extendedprice), 2) AS avg_price,
+       round(stddev_pop(l_extendedprice), 2) AS stddev_price
+FROM lineitem GROUP BY 1 ORDER BY 1
+"""
+
+
+def segment_year_revenue_pivot(sf_dir):
+    """Pivot / wide conditional aggregation: revenue by market segment
+    (rows) × order year (columns). Distributed shape: per-batch
+    partial sums on the (segment, year) long key — the combiner —
+    then the tiny driver-side pivot of ≤ segments × years rows into
+    wide exact-cents columns (pivots are presentation; the heavy
+    lifting is the long-key aggregate). Oracled via CASE sums."""
+    cust = ops.read_pandas(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    orders = ops.read(
+        sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_totalprice"]
+    )
+    joined = ops.broadcast_join(
+        orders, cust.rename(columns={"c_custkey": "o_custkey"}), on="o_custkey"
+    )
+
+    def enrich(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "c_mktsegment": b["c_mktsegment"],
+                "year": b["o_orderdate"]
+                .astype("datetime64[us]")
+                .dt.year.astype("int64"),
+                "cents": np.rint(b["o_totalprice"].to_numpy() * 100.0).astype(
+                    np.int64
+                ),
+            }
+        )
+
+    long = ops.preagg_sum_count_df(
+        joined.map_batches(enrich, batch_format="pandas"),
+        ["c_mktsegment", "year"],
+        ["cents"],
+    )
+    years = (1995, 1996, 1997, 1998)
+    wide = long[long["year"].isin(years)].pivot_table(
+        index="c_mktsegment", columns="year", values="cents",
+        aggfunc="sum", fill_value=0,
+    )
+    out = pd.DataFrame({"c_mktsegment": wide.index})
+    for y in years:
+        col = wide[y] if y in wide.columns else 0
+        out[f"rev_{y}_cents"] = np.asarray(col, dtype=np.int64)
+    return out.sort_values("c_mktsegment").reset_index(drop=True)
+
+
+PIVOT_SQL = """
+SELECT c_mktsegment,
+       sum(CASE WHEN year(o_orderdate) = 1995
+           THEN CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END) AS rev_1995_cents,
+       sum(CASE WHEN year(o_orderdate) = 1996
+           THEN CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END) AS rev_1996_cents,
+       sum(CASE WHEN year(o_orderdate) = 1997
+           THEN CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END) AS rev_1997_cents,
+       sum(CASE WHEN year(o_orderdate) = 1998
+           THEN CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END) AS rev_1998_cents
+FROM customer JOIN orders ON c_custkey = o_custkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def priority_quantiles_sketch(sf_dir):
     """Per-priority approximate price quantiles via the GROUPED
     mergeable summary (ops.grouped_quantile_sketch) — the scale path
@@ -1890,6 +1978,8 @@ QUERIES = {
     "customer_cumulative_spend": customer_cumulative_spend,
     "customers_inactive_1995": customers_inactive_1995,
     "word_postings": word_postings,
+    "returnflag_price_stats": returnflag_price_stats,
+    "segment_year_revenue_pivot": segment_year_revenue_pivot,
     "top_orders_by_price": top_orders_by_price,
     "top_orders_per_segment": top_orders_per_segment,
     "sample_documents_hash": sample_documents_hash,
@@ -1952,6 +2042,8 @@ ORACLES = {
     "customer_cumulative_spend": CUMSPEND_SQL,
     "customers_inactive_1995": INACTIVE_SQL,
     "word_postings": POSTINGS_SQL,
+    "returnflag_price_stats": VARIANCE_SQL,
+    "segment_year_revenue_pivot": PIVOT_SQL,
     "brand_volume": BRAND_SQL,
     "orders_price_band_join": BAND_JOIN_SQL,
     "order_price_quantiles": QUANTILES_SQL,
