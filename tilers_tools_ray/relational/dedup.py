@@ -66,13 +66,15 @@ def exact_dedup(docs_ds, id_col="doc_id", text_col="text"):
     ``SELECT min(doc_id) AS doc_id ... GROUP BY text``.
 
     Shape: the per-batch partial min shrinks each batch to one row per
-    distinct hash BEFORE the shuffle; the grouped ``Min`` aggregate is
-    Ray's vectorized built-in (no per-group Python lambda). The group
-    key is the FULL 128-bit md5 (see text._md5_hex) so hash collisions
-    — which would silently drop a distinct document — are out of reach
-    at the 10¹²-doc target scale."""
-    from ray.data.aggregate import Min
-
+    distinct hash BEFORE the shuffle; the final grouped min runs
+    through the coarse-bucket pattern (vectorized pandas min over
+    ~10⁵ hashes per Ray group) rather than Ray 2.49's per-key grouped
+    ``Min``, which degrades super-linearly in group count (measured
+    64 s at 1M rows / 500k string-keyed groups vs ~4 s bucketed —
+    identical output). The group key is the FULL 128-bit md5 (see
+    text._md5_hex) so hash collisions — which would silently drop a
+    distinct document — are out of reach at the 10¹²-doc target
+    scale."""
     import pyarrow as pa
 
     def hash_partial(batch: pd.DataFrame) -> pa.Table:
@@ -93,22 +95,35 @@ def exact_dedup(docs_ds, id_col="doc_id", text_col="text"):
             }
         )
 
-    # materialize the SHRUNK partial set before the grouped aggregate:
-    # on Ray 2.49 an Aggregate whose lazy input chain contains another
+    # materialize the SHRUNK partial set before the grouped reduce:
+    # on Ray 2.49 a shuffle whose lazy input chain contains another
     # all-to-all re-executes/thrashes (measured 9x wall blowup at 1e5
     # groups); the partial is one row per distinct hash per block, so
     # pinning it in the object store is the cheap side of the shuffle.
     partial = docs_ds.map_batches(hash_partial, batch_format="pandas").materialize()
-    kept = partial.groupby("text_hash").aggregate(Min(id_col, alias_name=id_col))
-    return kept.select_columns([id_col]).sort(id_col)
+    n_cb = _adaptive_coarse(partial.count(), per_group_target=100_000)
+
+    def final_min(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("text_hash", sort=False, as_index=False)[id_col].min()
+        return out[[id_col]]
+
+    kept = (
+        partial.map_batches(
+            lambda b, _n=n_cb: _coarse_bucket(b.copy(), "text_hash", _n),
+            batch_format="pandas",
+        )
+        .groupby("__ub")
+        .map_groups(final_min, batch_format="pandas")
+    )
+    return kept.sort(id_col)
 
 
 def phash_dedup(images_ds):
     """A4: exact perceptual-hash dedup over the images corpus — keep
     the smallest image_id per phash. Shuffles (image_id, phash) only;
-    per-batch partial min + grouped Min (no per-group lambda)."""
-    from ray.data.aggregate import Min
-
+    per-batch partial min, then the coarse-bucket grouped min (see
+    exact_dedup for why not Ray's per-key Min: 79 s → ~4 s at 1M
+    rows / 500k groups, identical output)."""
     import pyarrow as pa
 
     def partial(batch: pd.DataFrame) -> pa.Table:
@@ -122,12 +137,23 @@ def phash_dedup(images_ds):
         )
 
     slim = images_ds.select_columns(["image_id", "phash"])
-    # materialize before the aggregate — see exact_dedup for why
+    # materialize before the shuffle — see exact_dedup for why
     partials = slim.map_batches(partial, batch_format="pandas").materialize()
-    kept = partials.groupby("phash").aggregate(
-        Min("image_id", alias_name="image_id")
+    n_cb = _adaptive_coarse(partials.count(), per_group_target=100_000)
+
+    def final_min(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("phash", sort=False, as_index=False)["image_id"].min()
+        return out[["image_id", "phash"]]
+
+    kept = (
+        partials.map_batches(
+            lambda b, _n=n_cb: _coarse_bucket(b.copy(), "phash", _n),
+            batch_format="pandas",
+        )
+        .groupby("__ub")
+        .map_groups(final_min, batch_format="pandas")
     )
-    return kept.select_columns(["image_id", "phash"]).sort("image_id")
+    return kept.sort("image_id")
 
 
 # ---------------------------------------------------------------------------
@@ -1071,7 +1097,7 @@ def clean_image_corpus(images_ds, *, max_hamming=6, n_coarse=None):
     sorted by image_id."""
     import pyarrow as pa
     import ray
-    from ray.data.aggregate import Min
+    # (no Ray grouped aggregate here - see the coarse-bucket note below)
 
     slim = images_ds.select_columns(["image_id", "phash"]).materialize()
 
@@ -1119,31 +1145,70 @@ def clean_image_corpus(images_ds, *, max_hamming=6, n_coarse=None):
 
     comp_ds = slim.map_batches(
         CompOf, batch_format="pandas", batch_size=65536, concurrency=2
-    ).materialize()  # consumed twice: grouped Min + join back
-    canon = comp_ds.groupby("comp").aggregate(
-        Min("image_id", alias_name="canonical_id")
-    )
-    joined = comp_ds.join(
-        canon, "inner", 8, on=("comp",)
-    )
+    ).materialize()  # consumed twice: grouped reduce + final assign
+    # canonical ≠ self ONLY inside comps with ≥2 members, and those are
+    # bounded by the duplicate count (same bound as the edge list) — so
+    # reduce to (comp, min image_id) for multi-member comps only and
+    # broadcast that small map instead of hash-joining the full corpus
+    # back against a corpus-sized canon table. The reduce itself uses
+    # the coarse-bucket pattern (vectorized pandas min/size over ~10⁴
+    # comps per Ray group), NOT a per-comp Ray aggregate: Ray 2.49's
+    # grouped Min/Count measured 83–144 s at 10⁶ groups where this
+    # runs in ~4 s (profiled at the 1M-image smoke).
+    n_cb = _adaptive_coarse(slim.count(), per_group_target=200_000)
 
-    def finish(b: pd.DataFrame) -> pd.DataFrame:
-        if "image_id" not in b.columns:  # empty-schema sentinel block
-            return pd.DataFrame(
-                {
-                    "image_id": pd.array([], dtype="str"),
-                    "canonical_id": pd.array([], dtype="str"),
-                    "is_canonical": pd.array([], dtype="int64"),
-                }
-            )
-        ids = b["image_id"].to_numpy(dtype=object)
-        canon_ids = b["canonical_id"].to_numpy(dtype=object)
-        return pd.DataFrame(
+    def key_comp(b: pd.DataFrame) -> pd.DataFrame:
+        return _coarse_bucket(b.copy(), "comp", n_cb, out_col="__cb")
+
+    def dup_min(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("comp", sort=False).agg(
+            canonical_id=("image_id", "min"), n_members=("image_id", "size")
+        )
+        keep = agg[agg["n_members"] >= 2].reset_index()
+        return keep[["comp", "canonical_id"]]
+
+    dup_canon = (
+        comp_ds.map_batches(key_comp, batch_format="pandas")
+        .groupby("__cb")
+        .map_groups(dup_min, batch_format="pandas")
+        .to_pandas()  # bounded by dup-cluster count
+    )
+    if "comp" not in dup_canon.columns:  # empty-schema sentinel
+        dup_canon = pd.DataFrame(
             {
-                "image_id": ids,
-                "canonical_id": canon_ids,
-                "is_canonical": (ids == canon_ids).astype("int64"),
+                "comp": pd.array([], dtype="int64"),
+                "canonical_id": pd.array([], dtype="str"),
             }
         )
+    cref = ray.put(
+        dict(
+            zip(
+                dup_canon["comp"].to_numpy(dtype=np.int64),
+                dup_canon["canonical_id"].to_numpy(dtype=object),
+            )
+        )
+    )
 
-    return joined.map_batches(finish, batch_format="pandas").sort("image_id")
+    class Assign:
+        def __init__(self):
+            self.canon = ray.get(cref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            ids = b["image_id"].to_numpy(dtype=object)
+            comp = b["comp"].to_numpy(dtype=np.int64)
+            canon_ids = np.array(
+                [self.canon.get(int(c), i) for c, i in zip(comp, ids)],
+                dtype=object,
+            )
+            return pd.DataFrame(
+                {
+                    "image_id": ids,
+                    "canonical_id": canon_ids,
+                    "is_canonical": (ids == canon_ids).astype("int64"),
+                }
+            )
+
+    out = comp_ds.map_batches(
+        Assign, batch_format="pandas", batch_size=65536, concurrency=2
+    )
+    return out.sort("image_id")
