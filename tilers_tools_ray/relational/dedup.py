@@ -921,7 +921,6 @@ def clean_corpus(
     document."""
     import pyarrow as pa
     import ray
-    from ray.data.aggregate import Min
 
     # --- exact-dup edges: (member → group-min) ----------------------------
     def hash_rows(batch: pd.DataFrame) -> pa.Table:
@@ -936,22 +935,31 @@ def clean_corpus(
         )
 
     hashed = docs_ds.map_batches(hash_rows, batch_format="pandas").materialize()
-    canon = hashed.groupby("text_hash").aggregate(
-        Min("doc_id", alias_name="canon_id")
-    )
-    def dup_edges(b: pd.DataFrame) -> pd.DataFrame:
-        if "doc_id" not in b.columns:  # empty-schema sentinel block
-            return pd.DataFrame(
-                {
-                    "doc_id": pd.array([], dtype="int64"),
-                    "canon_id": pd.array([], dtype="int64"),
-                }
-            )
-        return b[b["doc_id"] != b["canon_id"]][["doc_id", "canon_id"]]
+    # one coarse-bucketed pass emits (member → group-min) edges
+    # directly: each text_hash lands wholly in one bucket, the min is
+    # a vectorized transform ACROSS hashes, and members equal to their
+    # min drop out — no per-key Ray aggregate (super-linear at 10⁶
+    # groups; see exact_dedup) and no corpus-sized hash join back.
+    n_cb = _adaptive_coarse(hashed.count(), per_group_target=200_000)
 
-    exact_edges_ds = hashed.join(
-        canon, join_type="inner", num_partitions=8, on=("text_hash",)
-    ).map_batches(dup_edges, batch_format="pandas")
+    def exact_edges_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        mn = g.groupby("text_hash", sort=False)["doc_id"].transform("min")
+        keep = g["doc_id"].to_numpy() != mn.to_numpy()
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy()[keep],
+                "canon_id": mn.to_numpy()[keep],
+            }
+        )
+
+    exact_edges_ds = (
+        hashed.map_batches(
+            lambda b, _n=n_cb: _coarse_bucket(b.copy(), "text_hash", _n),
+            batch_format="pandas",
+        )
+        .groupby("__ub")
+        .map_groups(exact_edges_bucket, batch_format="pandas")
+    )
 
     # --- near-dup edges (bucketed LSH + exact verify) ----------------------
     near_ds = minhash_lsh_pairs(

@@ -207,10 +207,15 @@ def grouped_topk(ds, group_col, by, k, descending=True, tie_col=None):
     """Per-GROUP top-k with a combiner: each batch first keeps at most
     k rows per group (vectorized sort + groupby head — no Python loop),
     so the grouped merge only shuffles ≤ k × n_groups × n_blocks rows;
-    the full table is never globally sorted. The merge stays a Ray
-    groupby (distributed), so group count can be huge (per-user top-k)
-    without a driver materialization. Adds a 1-based ``rk`` rank column
-    per group. Deterministic via ``tie_col``."""
+    the full table is never globally sorted. The merge is a
+    coarse-bucketed map_groups (each group lands wholly in one bucket;
+    the inner sort + head-k is vectorized ACROSS groups), so group
+    count can be huge (per-user top-k) without the super-linear cost
+    of Ray 2.49's per-key grouped apply (~83 s at 10⁶ groups — see
+    dedup.exact_dedup). Adds a 1-based ``rk`` rank column per group.
+    Deterministic via ``tie_col``."""
+    from .dedup import _adaptive_coarse, _coarse_bucket
+
     cols = [by] + ([tie_col] if tie_col else [])
     asc = [not descending] + [True] * (len(cols) - 1)
 
@@ -218,16 +223,27 @@ def grouped_topk(ds, group_col, by, k, descending=True, tie_col=None):
         s = batch.sort_values(cols, ascending=asc)
         return s.groupby(group_col, sort=False).head(k)
 
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        s = g.sort_values(cols, ascending=asc).head(k).copy()
-        s["rk"] = np.arange(1, len(s) + 1, dtype=np.int64)
-        return s
-
     pruned = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
     # pin the (shrunk) partial before the grouped merge — Ray 2.49
     # chained-all-to-all pathology (see dedup.exact_dedup)
-    return pruned.materialize().groupby(group_col).map_groups(
-        final, batch_format="pandas"
+    pruned = pruned.materialize()
+    n_cb = _adaptive_coarse(pruned.count(), per_group_target=200_000)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.sort_values([group_col] + cols, ascending=[True] + asc)
+        s = s.groupby(group_col, sort=False).head(k).copy()
+        s["rk"] = (
+            s.groupby(group_col, sort=False).cumcount().to_numpy() + 1
+        ).astype(np.int64)
+        return s.drop(columns=["__ub"])
+
+    return (
+        pruned.map_batches(
+            lambda b, _n=n_cb: _coarse_bucket(b.copy(), group_col, _n),
+            batch_format="pandas",
+        )
+        .groupby("__ub")
+        .map_groups(final, batch_format="pandas")
     )
 
 
@@ -517,9 +533,11 @@ def grouped_quantile_sketch(
     """Per-GROUP approximate quantiles with the same mergeable summary
     as :func:`quantile_sketch`: each batch thins every group it holds
     to ≤ ``B`` (value, weight) rows, so only B × groups × blocks
-    summary rows shuffle, and the grouped merge runs as a distributed
-    Ray groupby (group cardinality can be large — per-group answers
-    are all that reach the driver). Returns a DataFrame
+    summary rows shuffle, and the grouped merge runs as a
+    coarse-bucketed map_groups (group cardinality can be large —
+    per-group answers are all that reach the driver, and the per-key
+    Ray aggregate's super-linear group cost is avoided; see
+    dedup.exact_dedup). Returns a DataFrame
     (group_col, q25.., sorted by group) with one column per requested
     quantile, named ``p{int(100q)}``."""
     B = int(B)
@@ -541,23 +559,31 @@ def grouped_quantile_sketch(
             }
         )
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        v = g["qv"].to_numpy()
-        w = g["qw"].to_numpy()
-        order = np.argsort(v, kind="stable")
-        v, w = v[order], w[order]
-        cw = np.cumsum(w) - 0.5 * w
-        est = np.interp(qarr * float(w.sum()), cw, v)
-        out = {group_col: [g[group_col].iloc[0]]}
-        for n, e in zip(names, est):
-            out[n] = [e]
-        return pd.DataFrame(out)
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for gval, sub in g.groupby(group_col, sort=False):
+            v = sub["qv"].to_numpy()
+            w = sub["qw"].to_numpy()
+            order = np.argsort(v, kind="stable")
+            v, w = v[order], w[order]
+            cw = np.cumsum(w) - 0.5 * w
+            est = np.interp(qarr * float(w.sum()), cw, v)
+            rows.append((gval, *est))
+        return pd.DataFrame(rows, columns=[group_col] + names)
 
+    from .dedup import _adaptive_coarse, _coarse_bucket
+
+    partials = ds.map_batches(
+        partial, batch_format="pandas", batch_size=batch_size
+    ).materialize()  # pin partials before the all-to-all (see exact_dedup)
+    n_cb = _adaptive_coarse(partials.count(), per_group_target=200_000)
     out = (
-        ds.map_batches(partial, batch_format="pandas", batch_size=batch_size)
-        .materialize()  # pin partials before the all-to-all (see exact_dedup)
-        .groupby(group_col)
-        .map_groups(merge, batch_format="pandas")
+        partials.map_batches(
+            lambda b, _n=n_cb: _coarse_bucket(b, group_col, _n),
+            batch_format="pandas",
+        )
+        .groupby("__ub")
+        .map_groups(merge_bucket, batch_format="pandas")
         .to_pandas()
     )
     return out.sort_values(group_col).reset_index(drop=True)

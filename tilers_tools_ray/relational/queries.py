@@ -632,22 +632,40 @@ def word_postings(sf_dir, chunk=500):
         out["chunk"] = (out["doc_id"] // chunk).astype("int64")
         return out
 
-    pairs = docs.map_batches(explode, batch_format="pandas")
+    from .dedup import _adaptive_coarse
+
+    pairs = docs.map_batches(
+        explode, batch_format="pandas"
+    ).materialize()  # pin pre-shuffle (see dedup.exact_dedup)
+    # coarse-bucket on the composite key so (word, chunk) cardinality —
+    # vocab × doc-ranges, huge at scale — never becomes per-key Ray
+    # groups (super-linear; see dedup.exact_dedup)
+    n_cb = _adaptive_coarse(pairs.count(), per_group_target=200_000)
+
+    def key(b: pd.DataFrame) -> pd.DataFrame:
+        b["__ub"] = (
+            (
+                pd.util.hash_array(b["word"].to_numpy(dtype=object))
+                ^ pd.util.hash_array(b["chunk"].to_numpy())
+            )
+            % n_cb
+        ).astype("int64")
+        return b
 
     def agg(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.unique(g["doc_id"].to_numpy(dtype=np.int64))
-        return pd.DataFrame(
-            {
-                "word": [g["word"].iloc[0]],
-                "chunk": np.array([g["chunk"].iloc[0]], dtype=np.int64),
-                "n_docs": np.array([len(ids)], dtype=np.int64),
-                "doc_ids_csv": [",".join(map(str, ids))],
-            }
+        g = g.sort_values(["word", "chunk", "doc_id"]).drop_duplicates(
+            ["word", "chunk", "doc_id"]
         )
+        out = g.groupby(["word", "chunk"], sort=False).agg(
+            n_docs=("doc_id", "size"),
+            doc_ids_csv=("doc_id", lambda s: ",".join(map(str, s))),
+        ).reset_index()
+        out["n_docs"] = out["n_docs"].astype("int64")
+        return out[["word", "chunk", "n_docs", "doc_ids_csv"]]
 
     out = (
-        pairs.materialize()  # pin pre-shuffle (see dedup.exact_dedup)
-        .groupby(["word", "chunk"])
+        pairs.map_batches(key, batch_format="pandas")
+        .groupby("__ub")
         .map_groups(agg, batch_format="pandas")
     )
     return out.sort(["word", "chunk"])
@@ -1135,7 +1153,8 @@ def segment_distinct_customers(sf_dir):
     per-batch segment-count partials → tiny driver merge (≤5 rows ×
     blocks). Neither table is ever collected whole on the driver."""
     import pyarrow as pa
-    from ray.data.aggregate import Count
+
+    from .dedup import _adaptive_coarse, _coarse_bucket
 
     cust = ops.read(sf_dir, "customer", columns=["c_mktsegment", "c_custkey"])
     orders = ops.read(sf_dir, "orders", columns=["o_custkey"])
@@ -1144,11 +1163,23 @@ def segment_distinct_customers(sf_dir):
         u = b["o_custkey"].drop_duplicates().to_numpy()
         return pa.table({"o_custkey": u})
 
-    # materialize the slim partial before the aggregate (Ray 2.49
-    # chained-all-to-all pathology; see dedup.exact_dedup)
+    # materialize the slim partial before the shuffle (Ray 2.49
+    # chained-all-to-all pathology; see dedup.exact_dedup); the grouped
+    # distinct is the coarse-bucket pattern (vectorized drop_duplicates
+    # per Ray group) — per-key Ray groups at 10⁹ custkeys would hit the
+    # super-linear grouped-aggregate cost (see dedup.exact_dedup)
     partial = orders.map_batches(o_partial, batch_format="pandas").materialize()
-    active = partial.groupby("o_custkey").aggregate(
-        Count(alias_name="n_ord_blocks")
+    n_cb = _adaptive_coarse(partial.count(), per_group_target=200_000)
+    active = (
+        partial.map_batches(
+            lambda b, _n=n_cb: _coarse_bucket(b.copy(), "o_custkey", _n),
+            batch_format="pandas",
+        )
+        .groupby("__ub")
+        .map_groups(
+            lambda g: g.drop_duplicates("o_custkey")[["o_custkey"]],
+            batch_format="pandas",
+        )
     )
     joined = ops.hash_join(
         cust, active, on="c_custkey", right_on="o_custkey", num_partitions=8
