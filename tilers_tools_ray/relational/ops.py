@@ -147,7 +147,11 @@ def preagg_sum_count(ds, keys, sum_cols, count_alias="n"):
     """Per-batch partial sums/counts → small groupby → final sums.
     Returns a Dataset with columns keys + sum_cols + count_alias.
     The shuffle moves one row per (batch, key-combo), not per input
-    row (ray_guide.md 'Aggregation at scale')."""
+    row (ray_guide.md 'Aggregation at scale'). NOTE: the final merge
+    is Ray's per-key grouped Sum — fine to ~10⁴ distinct keys, but it
+    degrades super-linearly beyond that (measured 83 s+ at 10⁶
+    groups; see dedup.exact_dedup) — above that, use the coarse-bucket
+    map_groups pattern (dedup._coarse_bucket) for the final merge."""
     from ray.data.aggregate import Sum
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
