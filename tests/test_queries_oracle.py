@@ -425,3 +425,15 @@ def test_heavy_hitters_uniform_falls_back_exact(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, exp[["key", "cnt"]], check_dtype=False)
+
+
+def test_inactive_anti_join_fallback(registry):
+    """The distributed left-anti path (broadcast_limit=0 forces it)
+    returns exactly what the broadcast path and the SQL oracle do."""
+    from tilers_tools_ray.relational import queries as Q
+
+    broadcast = _normalize(_to_pandas(Q.customers_inactive_1995(SF)))
+    anti = _normalize(
+        _to_pandas(Q.customers_inactive_1995(SF, broadcast_limit=0))
+    )
+    pd.testing.assert_frame_equal(broadcast, anti, check_dtype=False)

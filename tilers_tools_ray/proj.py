@@ -198,7 +198,7 @@ def _check_datum_kv(kv, srs):
 _UTM_EPSG_RE = re.compile(r"^EPSG:32([67])(\d{2})$")
 _P4_UTM_RE = re.compile(r"\+proj=utm\b")
 _P4_TMERC_RE = re.compile(r"\+proj=tmerc\b")
-_P4_KV_RE = re.compile(r"\+([a-z_0-9]+)(?:=([^\s]+))?")
+_P4_KV_RE = re.compile(r"\+([A-Za-z_0-9]+)(?:=([^\s]+))?")  # +R is uppercase
 
 
 def utm_srs(zone, south=False):

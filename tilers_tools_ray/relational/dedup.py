@@ -1113,7 +1113,22 @@ def clean_image_corpus(images_ds, *, max_hamming=6, n_coarse=None):
         u = np.unique(b["phash"].to_numpy(dtype=np.int64))
         return pa.table({"pid": u, "ph": u})
 
-    sig = slim.map_batches(uniq, batch_format="pandas")
+    # per-batch distinct, then a coarse-bucketed GLOBAL distinct: a hot
+    # phash present in most blocks would otherwise enter the banding
+    # once per block, multiplying its band-exploded shuffle rows
+    per_batch = slim.map_batches(uniq, batch_format="pandas").materialize()
+    n_u = _adaptive_coarse(per_batch.count(), per_group_target=200_000)
+    sig = (
+        per_batch.map_batches(
+            lambda b, _n=n_u: _coarse_bucket(b.copy(), "ph", _n),
+            batch_format="pandas",
+        )
+        .groupby("__ub")
+        .map_groups(
+            lambda g: g.drop_duplicates("ph")[["pid", "ph"]],
+            batch_format="pandas",
+        )
+    )
     edges = hamming_band_pairs(
         sig, id_col="pid", hash_col="ph", max_hamming=max_hamming,
         n_coarse=n_coarse,

@@ -71,12 +71,27 @@ def broadcast_join(left_ds, right_df, on, how="inner", suffix="_r"):
     )
 
 
+def _cap_join_partitions(num_partitions):
+    """Ray 2.49's hash-shuffle Join spawns ``num_partitions``
+    HashShuffleAggregator actors; when that far exceeds cluster CPUs
+    the actors starve the upstream map tasks and the executor
+    deadlocks (reproduced: 32 partitions hang a 4-CPU cluster, 8 run
+    fine — the same starvation class as the r2 pyramid actor-pool
+    fix). Cap at the cluster CPU count."""
+    import ray
+
+    ncpu = int(ray.cluster_resources().get("CPU", num_partitions))
+    return max(2, min(int(num_partitions), ncpu))
+
+
 def hash_join(
     left_ds, right_ds, on, right_on=None, how="inner", num_partitions=32
 ):
     """Both sides large: Ray's native hash-partitioned join (shuffles
     both sides on the key). ``num_partitions`` is the explicit
-    partitioning decision — size it to cluster CPUs."""
+    partitioning decision — size it to cluster CPUs (capped there
+    automatically; see _cap_join_partitions)."""
+    num_partitions = _cap_join_partitions(num_partitions)
     on_t = (on,) if isinstance(on, str) else tuple(on)
     r_t = None
     if right_on is not None:
@@ -555,11 +570,20 @@ def grouped_quantile_sketch(
             gs.append(np.repeat(gval, len(v)))
             vs.append(v)
             ws.append(w)
+        if not gs:  # typed empty (object-dtype [] breaks Arrow schema
+            # unification against non-empty blocks at the shuffle)
+            return pd.DataFrame(
+                {
+                    group_col: batch[group_col].iloc[:0],
+                    "qv": np.array([], dtype=np.float64),
+                    "qw": np.array([], dtype=np.float64),
+                }
+            )
         return pd.DataFrame(
             {
-                group_col: np.concatenate(gs) if gs else [],
-                "qv": np.concatenate(vs) if vs else [],
-                "qw": np.concatenate(ws) if ws else [],
+                group_col: np.concatenate(gs),
+                "qv": np.concatenate(vs),
+                "qw": np.concatenate(ws),
             }
         )
 
@@ -618,6 +642,12 @@ def grouped_variance(ds, keys, col, batch_size=65536):
     parts = ds.map_batches(
         partial, batch_format="pandas", batch_size=batch_size
     ).to_pandas()  # ≤ groups × blocks rows
+    if len(parts) == 0:  # empty input: empty typed result, not a crash
+        out = parts.reindex(columns=keys).copy()
+        out["n"] = pd.array([], dtype="int64")
+        out["mean"] = pd.array([], dtype="float64")
+        out["var_pop"] = pd.array([], dtype="float64")
+        return out
 
     def merge(g: pd.DataFrame) -> pd.Series:
         n_t, m_t, m2_t = 0.0, 0.0, 0.0
@@ -636,3 +666,36 @@ def grouped_variance(ds, keys, col, batch_size=65536):
     out = parts.groupby(keys, sort=True).apply(merge).reset_index()
     out["n"] = out["n"].astype("int64")
     return out
+
+
+def anti_join(left_ds, right_keys_ds, on, right_on=None, num_partitions=32):
+    """LEFT ANTI join: rows of ``left_ds`` whose key has NO match in
+    ``right_keys_ds``. Ray 2.49 has no native anti join type, so this
+    is a partitioned left-outer join against the (deduplicated) key
+    set with a presence marker, followed by a null-marker filter —
+    both sides shuffle once on the key; nothing is collected or
+    broadcast, so the right side may be arbitrarily large (the scale
+    alternative to a broadcast anti-filter)."""
+    num_partitions = _cap_join_partitions(num_partitions)
+    right_on = right_on or on
+
+    def mark(b: pd.DataFrame) -> pd.DataFrame:
+        out = b[[right_on]].drop_duplicates()
+        out["__hit"] = np.int64(1)
+        return out
+
+    marked = right_keys_ds.map_batches(mark, batch_format="pandas")
+    j = left_ds.join(
+        marked,
+        "left_outer",
+        num_partitions,
+        on=(on,),
+        right_on=(right_on,),
+    )
+    drop = ["__hit"] + ([right_on] if right_on != on else [])
+
+    def keep_missing(b: pd.DataFrame) -> pd.DataFrame:
+        out = b[b["__hit"].isna()]
+        return out.drop(columns=[c for c in drop if c in out.columns])
+
+    return j.map_batches(keep_missing, batch_format="pandas")

@@ -562,12 +562,18 @@ def order_price_quantile_sketch(sf_dir):
 def customers_inactive_1995(sf_dir, broadcast_limit=50_000_000):
     """ANTI-join at the relational level (NOT EXISTS): customers with
     zero orders inside a date window. The active-key set is built
-    distributed (per-batch distinct partials over the pruned, filtered
-    orders read), broadcast once, and the customer table is
-    anti-filtered per batch — no all-to-all. Above ``broadcast_limit``
-    active keys the set stays a Dataset and flows through the
-    partitioned hash join with a left-anti mask (the documented scale
-    fallback, same policy as q3's semi)."""
+    DISTRIBUTED (per-batch distinct partials over the pruned, filtered
+    orders read → coarse-bucketed global distinct — never collected
+    before its size is known). At ≤ ``broadcast_limit`` keys it ships
+    once via ray.put (zero-copy plasma view per worker) and the
+    customer table is anti-filtered per batch with no all-to-all;
+    above the limit it stays a Dataset and flows through
+    ``ops.anti_join`` (partitioned left-outer + null-marker filter) —
+    both paths tested (test_inactive_anti_join_fallback)."""
+    import ray
+
+    from .dedup import _adaptive_coarse, _coarse_bucket
+
     lo = np.datetime64("1995-01-01", "us")
     hi = np.datetime64("1996-01-01", "us")
     orders = ops.read(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
@@ -577,26 +583,48 @@ def customers_inactive_1995(sf_dir, broadcast_limit=50_000_000):
         hit = b.loc[(ts >= lo) & (ts < hi), "o_custkey"]
         return pd.DataFrame({"o_custkey": hit.drop_duplicates().to_numpy()})
 
+    partial = orders.map_batches(
+        active_partial, batch_format="pandas"
+    ).materialize()  # pin pre-shuffle (see dedup.exact_dedup)
+    n_cb = _adaptive_coarse(partial.count(), per_group_target=200_000)
     active = (
-        orders.map_batches(active_partial, batch_format="pandas")
-        .to_pandas()["o_custkey"]
-        .drop_duplicates()
-    )
-    if len(active) > broadcast_limit:
-        raise ValueError(
-            f"{len(active)} anti-join keys exceed broadcast_limit="
-            f"{broadcast_limit}; use the hash_join left-anti path"
+        partial.map_batches(
+            lambda b, _n=n_cb: _coarse_bucket(b.copy(), "o_custkey", _n),
+            batch_format="pandas",
         )
-    akeys = np.sort(active.to_numpy(dtype=np.int64))
-
-    def anti(b: pd.DataFrame) -> pd.DataFrame:
-        keys = b["c_custkey"].to_numpy(dtype=np.int64)
-        idx = np.clip(np.searchsorted(akeys, keys), 0, max(len(akeys) - 1, 0))
-        hit = (akeys[idx] == keys) if len(akeys) else np.zeros(len(keys), bool)
-        return b[~hit]
-
+        .groupby("__ub")
+        .map_groups(
+            lambda g: g.drop_duplicates("o_custkey")[["o_custkey"]],
+            batch_format="pandas",
+        )
+        .materialize()  # counted, then either collected or joined
+    )
     cust = ops.read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
-    out = cust.map_batches(anti, batch_format="pandas").to_pandas()
+
+    if active.count() > broadcast_limit:
+        out = ops.anti_join(
+            cust, active, on="c_custkey", right_on="o_custkey"
+        ).to_pandas()  # result-sized (the inactive tail)
+        return out.sort_values("c_custkey").reset_index(drop=True)
+
+    akeys = np.sort(active.to_pandas()["o_custkey"].to_numpy(dtype=np.int64))
+    aref = ray.put(akeys)
+
+    class Anti:
+        def __init__(self):
+            self.akeys = ray.get(aref)  # zero-copy plasma view
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            keys = b["c_custkey"].to_numpy(dtype=np.int64)
+            a = self.akeys
+            if len(a) == 0:
+                return b
+            idx = np.clip(np.searchsorted(a, keys), 0, len(a) - 1)
+            return b[a[idx] != keys]
+
+    out = cust.map_batches(
+        Anti, batch_format="pandas", batch_size=65536, concurrency=(1, 8)
+    ).to_pandas()
     return out.sort_values("c_custkey").reset_index(drop=True)
 
 
@@ -624,8 +652,8 @@ def word_postings(sf_dir, chunk=500):
     docs = ops.read(sf_dir, "documents", columns=["doc_id", "text"])
 
     def explode(b: pd.DataFrame) -> pd.DataFrame:
-        words = b["text"].str.lower().str.findall(r"[a-z0-9]+")
-        n = words.str.len().to_numpy()
+        words = b["text"].fillna("").str.lower().str.findall(r"[a-z0-9]+")
+        n = words.str.len().to_numpy(dtype=np.int64)
         doc = np.repeat(b["doc_id"].to_numpy(dtype=np.int64), n)
         flat = np.concatenate(words.to_numpy()) if n.sum() else np.array([], str)
         out = pd.DataFrame({"word": flat, "doc_id": doc}).drop_duplicates()
@@ -746,7 +774,10 @@ def segment_year_revenue_pivot(sf_dir):
         ["cents"],
     )
     years = (1995, 1996, 1997, 1998)
-    wide = long[long["year"].isin(years)].pivot_table(
+    # pivot ALL years so a segment whose orders fall entirely outside
+    # the selected columns still appears (with zeros) — matching the
+    # oracle's CASE ... ELSE 0 over every joined row
+    wide = long.pivot_table(
         index="c_mktsegment", columns="year", values="cents",
         aggfunc="sum", fill_value=0,
     )
