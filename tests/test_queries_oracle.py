@@ -437,3 +437,20 @@ def test_inactive_anti_join_fallback(registry):
         _to_pandas(Q.customers_inactive_1995(SF, broadcast_limit=0))
     )
     pd.testing.assert_frame_equal(broadcast, anti, check_dtype=False)
+
+
+def test_cli_query_runner(ray_session, tmp_path, capsys):
+    """`cli query` lists the registry and runs a query to parquet —
+    the standalone surface for every registered pipeline."""
+    import pyarrow.parquet as pq
+
+    from tilers_tools_ray import cli
+
+    cli.main(["query", "--list"])
+    listed = capsys.readouterr().out
+    assert "q1_pricing_summary" in listed and "sql-oracled" in listed
+
+    out = str(tmp_path / "q1.parquet")
+    cli.main(["query", "q1_pricing_summary", "--sf-dir", SF, "--out", out])
+    t = pq.read_table(out)
+    assert t.num_rows == 6 and "sum_qty" in t.schema.names

@@ -154,6 +154,37 @@ def cmd_stats(args):
     print(df.to_string(index=False))
 
 
+def cmd_query(args):
+    """Run a registered relational/dedup/ANN/text query standalone."""
+    _ray()
+    import pandas as pd
+
+    from .relational import queries as Q
+
+    if args.list or not args.name:
+        oracled = set(Q.ORACLES)
+        for name in sorted(Q.QUERIES):
+            tag = "sql-oracled" if name in oracled else "rows-only"
+            print(f"{name:32s} {tag}")
+        return
+    if args.name not in Q.QUERIES:
+        raise SystemExit(
+            f"unknown query {args.name!r} — run `query --list` for names"
+        )
+    res = Q.QUERIES[args.name](args.sf_dir)
+    if not isinstance(res, pd.DataFrame):
+        res = res.to_pandas()
+    if args.out:
+        if args.out.endswith(".csv"):
+            res.to_csv(args.out, index=False)
+        else:
+            res.to_parquet(args.out, index=False)
+        print(f"{len(res)} rows -> {args.out}")
+    else:
+        with pd.option_context("display.max_rows", args.max_rows):
+            print(res.to_string(index=False, max_rows=args.max_rows))
+
+
 def build_parser():
     p = argparse.ArgumentParser(prog="tilers-tools-ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -231,6 +262,17 @@ def build_parser():
     s = sub.add_parser("stats", help="per-zoom tile-set statistics")
     s.add_argument("--src", required=True)
     s.set_defaults(fn=cmd_stats)
+
+    q = sub.add_parser(
+        "query",
+        help="run a registered relational/dedup/ANN/text query",
+    )
+    q.add_argument("name", nargs="?", default=None)
+    q.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    q.add_argument("--out", default=None, help=".parquet or .csv output")
+    q.add_argument("--max-rows", type=int, default=50)
+    q.add_argument("--list", action="store_true", help="list query names")
+    q.set_defaults(fn=cmd_query)
     return p
 
 
