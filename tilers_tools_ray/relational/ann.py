@@ -222,6 +222,12 @@ class HyperplaneHasher:
         self.h = None
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:  # np.stack([]) raises; typed empty out
+            # (same empty-batch policy as SemiVecs)
+            out = {"vec_id": pd.array([], dtype="int64")}
+            for w in range(self.n_words):
+                out[f"lsh{w}"] = pd.array([], dtype="int64")
+            return pd.DataFrame(out)
         vecs = _normalize(np.stack(batch["embedding"].to_numpy()))
         d = vecs.shape[1]
         if self.h is None or self.h.shape[0] != d:

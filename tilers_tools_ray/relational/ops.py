@@ -460,6 +460,15 @@ def hll_distinct(ds, col, p=14, group_col=None, batch_size=65536):
             rows_r.append(
                 _hll_batch_registers(sub[col].to_numpy(), p).tobytes()
             )
+        if not rows_g:  # typed empty (object-dtype [] breaks Arrow schema
+            # unification against non-empty blocks; same guard as
+            # grouped_quantile_sketch.partial)
+            return pd.DataFrame(
+                {
+                    group_col: batch[group_col].iloc[:0],
+                    "regs": pd.array([b""], dtype=object)[:0],
+                }
+            )
         return pd.DataFrame({group_col: rows_g, "regs": rows_r})
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
@@ -621,16 +630,26 @@ def grouped_variance(ds, keys, col, batch_size=65536):
     """Numerically-stable grouped mean/variance via mergeable Welford
     partials: each batch reduces to one (keys, n, mean, M2) row per
     group — the only thing that shuffles — and partials merge with the
-    parallel-variance formula (Chan et al. 1979), which is exact under
-    any merge tree (no catastrophic cancellation of sum-of-squares at
-    huge n). Driver merge is bounded by groups × blocks rows, the same
-    contract as preagg_sum_count_df. Returns a DataFrame
-    (keys..., n, mean, var_pop) sorted by keys."""
+    parallel-variance combine (Chan et al. 1979; the k-way form
+    M2 = Σ M2ᵢ + Σ nᵢ·(mᵢ − m̄)² is algebraically identical to the
+    pairwise fold and has no sum-of-squares cancellation at huge n).
+    The merge runs DISTRIBUTED through the coarse-bucket pattern
+    (each key lands wholly in one bucket; the combine is vectorized
+    pandas ACROSS keys inside each bucket — no per-group Python fold
+    and no driver structure proportional to key cardinality). Returns
+    a DataFrame (keys..., n, mean, var_pop) sorted by keys."""
+    from .dedup import _adaptive_coarse, _coarse_bucket
+
     keys = list(keys)
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         g = b.groupby(keys, sort=False)[col]
         agg = g.agg(["count", "mean", "var"]).reset_index()
+        if len(agg) == 0:  # typed empty (Arrow schema unification)
+            out = b[keys].iloc[:0].copy()
+            for c in ("n", "m", "m2"):
+                out[c] = np.array([], dtype=np.float64)
+            return out
         n = agg["count"].to_numpy(dtype=np.float64)
         # pandas var is ddof=1 (NaN at n=1) → M2 = var*(n-1)
         m2 = np.where(n > 1, agg["var"].to_numpy() * (n - 1.0), 0.0)
@@ -641,31 +660,55 @@ def grouped_variance(ds, keys, col, batch_size=65536):
 
     parts = ds.map_batches(
         partial, batch_format="pandas", batch_size=batch_size
-    ).to_pandas()  # ≤ groups × blocks rows
-    if len(parts) == 0:  # empty input: empty typed result, not a crash
-        out = parts.reindex(columns=keys).copy()
+    ).materialize()  # pin partials before the all-to-all (see exact_dedup)
+    n_cb = _adaptive_coarse(parts.count(), per_group_target=200_000)
+
+    def bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        if len(keys) == 1:
+            return _coarse_bucket(b, keys[0], n_cb)
+        h = pd.util.hash_array(b[keys[0]].to_numpy())
+        for k in keys[1:]:  # composite key: xor of per-column hashes
+            h = h ^ pd.util.hash_array(b[k].to_numpy())
+        b["__ub"] = (h % n_cb).astype("int64")
+        return b
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g["n"] > 0]
+        if len(g) == 0:
+            out = g[keys].copy()
+            for c, dt in (("n", "int64"), ("mean", "float64"),
+                          ("var_pop", "float64")):
+                out[c] = pd.array([], dtype=dt)
+            return out
+        g = g.copy()
+        g["nm"] = g["n"] * g["m"]
+        tot = g.groupby(keys, sort=False).agg(
+            n=("n", "sum"), nm=("nm", "sum")
+        )
+        tot["mean"] = tot["nm"] / tot["n"]
+        j = g.merge(tot[["mean"]], left_on=keys, right_index=True)
+        dev = j["m"] - j["mean"]
+        j["contrib"] = j["m2"] + j["n"] * dev * dev
+        m2 = j.groupby(keys, sort=False)["contrib"].sum()
+        out = tot.join(m2.rename("m2")).reset_index()
+        out["var_pop"] = out["m2"] / out["n"].clip(lower=1.0)
+        out["n"] = out["n"].astype("int64")
+        return out[keys + ["n", "mean", "var_pop"]]
+
+    out = (
+        parts.map_batches(bucket, batch_format="pandas")
+        .groupby("__ub")
+        .map_groups(merge_bucket, batch_format="pandas")
+        .to_pandas()  # ≤ one row per group
+    )
+    if len(out) == 0:  # empty input: empty typed result, not a crash
+        out = out.reindex(columns=keys + ["n", "mean", "var_pop"])
         out["n"] = pd.array([], dtype="int64")
         out["mean"] = pd.array([], dtype="float64")
         out["var_pop"] = pd.array([], dtype="float64")
-        return out
-
-    def merge(g: pd.DataFrame) -> pd.Series:
-        n_t, m_t, m2_t = 0.0, 0.0, 0.0
-        for n, m, m2 in zip(g["n"], g["m"], g["m2"]):
-            if n == 0:
-                continue
-            d = m - m_t
-            tot = n_t + n
-            m2_t += m2 + d * d * n_t * n / tot
-            m_t += d * n / tot
-            n_t = tot
-        return pd.Series(
-            {"n": int(n_t), "mean": m_t, "var_pop": m2_t / max(n_t, 1.0)}
-        )
-
-    out = parts.groupby(keys, sort=True).apply(merge).reset_index()
-    out["n"] = out["n"].astype("int64")
-    return out
+        return out[keys + ["n", "mean", "var_pop"]]
+    return out.sort_values(keys).reset_index(drop=True)
 
 
 def anti_join(left_ds, right_keys_ds, on, right_on=None, num_partitions=32):

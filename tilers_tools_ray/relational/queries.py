@@ -290,6 +290,9 @@ def q10_returned_items(sf_dir):
 
     partial_top = (
         joined.map_batches(bucket, batch_format="pandas")
+        .materialize()  # pin between the two all-to-alls (join → groupby):
+        # a lazy chain holding another all-to-all re-executes it on
+        # Ray 2.49 (see dedup.exact_dedup — measured 9× wall blowup)
         .groupby("__ub")
         .map_groups(reduce_top, batch_format="pandas")
         .to_pandas()  # ≤ 20 × n_buckets rows
@@ -790,14 +793,14 @@ def segment_year_revenue_pivot(sf_dir):
 
 PIVOT_SQL = """
 SELECT c_mktsegment,
-       sum(CASE WHEN year(o_orderdate) = 1995
-           THEN CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END) AS rev_1995_cents,
-       sum(CASE WHEN year(o_orderdate) = 1996
-           THEN CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END) AS rev_1996_cents,
-       sum(CASE WHEN year(o_orderdate) = 1997
-           THEN CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END) AS rev_1997_cents,
-       sum(CASE WHEN year(o_orderdate) = 1998
-           THEN CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END) AS rev_1998_cents
+       CAST(sum(CASE WHEN year(o_orderdate) = 1995
+           THEN CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS rev_1995_cents,
+       CAST(sum(CASE WHEN year(o_orderdate) = 1996
+           THEN CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS rev_1996_cents,
+       CAST(sum(CASE WHEN year(o_orderdate) = 1997
+           THEN CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS rev_1997_cents,
+       CAST(sum(CASE WHEN year(o_orderdate) = 1998
+           THEN CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS rev_1998_cents
 FROM customer JOIN orders ON c_custkey = o_custkey
 GROUP BY 1 ORDER BY 1
 """
@@ -1819,11 +1822,12 @@ def tile_pyramid_stats_utm(sf_dir):
     from .. import corpus
     from ..pipelines import pyramid, tileset
 
-    out = "/tmp/ttr_utm_v1"
+    out = "/tmp/ttr_utm_v1"  # bump _v suffix whenever utm_rows changes
     path = os.path.join(out, "images.parquet")
     if not os.path.exists(path):
         os.makedirs(out, exist_ok=True)
-        tmp = path + ".tmp"
+        tmp = f"{path}.{os.getpid()}.tmp"  # pid-unique: concurrent bench
+        # subprocesses must not interleave writes into one tmp file
         pq.write_table(corpus.rows_to_table(corpus.utm_rows(n=12)), tmp)
         os.replace(tmp, path)
     base = pyramid.base_tiles(path)
@@ -1844,11 +1848,12 @@ def tile_pyramid_stats_lcc(sf_dir):
     from .. import corpus
     from ..pipelines import pyramid, tileset
 
-    out = "/tmp/ttr_lcc_v1"
+    out = "/tmp/ttr_lcc_v1"  # bump _v suffix whenever conic_rows changes
     path = os.path.join(out, "images.parquet")
     if not os.path.exists(path):
         os.makedirs(out, exist_ok=True)
-        tmp = path + ".tmp"
+        tmp = f"{path}.{os.getpid()}.tmp"  # pid-unique: concurrent bench
+        # subprocesses must not interleave writes into one tmp file
         pq.write_table(
             corpus.rows_to_table(corpus.conic_rows("EPSG:2154", 3.0, 46.5, n=12)),
             tmp,
