@@ -439,6 +439,29 @@ def test_inactive_anti_join_fallback(registry):
     pd.testing.assert_frame_equal(broadcast, anti, check_dtype=False)
 
 
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q3_top_revenue_orders",
+        "q5_nation_revenue",
+        "segment_year_revenue_pivot",
+        "top_orders_per_segment",
+        "brand_volume",
+    ],
+)
+def test_dim_join_fallback(registry, name):
+    """Every SF-proportional-dimension query routes through the
+    size-guarded ops.dim_join/semi_join: forcing broadcast_limit=0
+    exercises the distributed hash-join fallback, which must return
+    exactly what the broadcast path (and hence the SQL oracle) does."""
+    from tilers_tools_ray.relational import queries as Q
+
+    fn = getattr(Q, name)
+    fast = _normalize(_to_pandas(fn(SF)))
+    fallback = _normalize(_to_pandas(fn(SF, broadcast_limit=0)))
+    pd.testing.assert_frame_equal(fast, fallback, check_dtype=False)
+
+
 def test_cli_query_runner(ray_session, tmp_path, capsys):
     """`cli query` lists the registry and runs a query to parquet —
     the standalone surface for every registered pipeline."""

@@ -47,6 +47,22 @@ def read_pandas(sf_dir, table, columns=None):
     ).to_pandas()
 
 
+def table_rows(sf_dir, table):
+    """Row count straight from parquet footer metadata — a FREE size
+    guard (no Ray execution, no data read) for deciding
+    broadcast-vs-distributed before touching a dimension table."""
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    if os.path.isdir(path):  # multi-file layout
+        total = 0
+        for f in sorted(os.listdir(path)):
+            if f.endswith(".parquet"):
+                total += pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+        return total
+    return pq.ParquetFile(path).metadata.num_rows
+
+
 # ---------------------------------------------------------------------------
 # joins
 # ---------------------------------------------------------------------------
@@ -742,3 +758,155 @@ def anti_join(left_ds, right_keys_ds, on, right_on=None, num_partitions=32):
         return out.drop(columns=[c for c in drop if c in out.columns])
 
     return j.map_batches(keep_missing, batch_format="pandas")
+
+
+def dim_join(
+    left_ds,
+    right_ds,
+    on,
+    right_on=None,
+    how="inner",
+    broadcast_limit=5_000_000,
+    num_partitions=32,
+):
+    """Size-GUARDED dimension join: count the right side first, then
+    either broadcast it (≤ ``broadcast_limit`` rows — ship once via
+    ray.put, pandas-merge per batch, no shuffle) or fall back to the
+    partitioned hash join (both sides shuffle once; nothing is ever
+    collected). TPC-H ``customer``/``part`` scale with SF — at the
+    10¹²-row target they are NOT broadcastable, so every
+    fact ⋈ SF-proportional-dimension hop must route through this guard
+    rather than an unconditional ``read_pandas`` + broadcast (the r3
+    audit's 'unguarded driver-read' finding). ``nation``/``region``
+    (bounded dims) may keep plain broadcast_join.
+
+    ``right_on`` names the right side's key when it differs from the
+    left's; the output carries left columns + right non-key columns
+    under EITHER path (the right key column never survives). Returns a
+    Dataset."""
+    r_on = right_on or on
+    right_ds = right_ds.materialize()  # counted, then collected OR joined
+    if right_ds.count() <= broadcast_limit:
+        rdf = right_ds.to_pandas()  # bounded by broadcast_limit
+        if r_on != on:
+            rdf = rdf.rename(columns={r_on: on})
+        return broadcast_join(left_ds, rdf, on=on, how=how)
+    joined = hash_join(
+        left_ds,
+        right_ds,
+        on=on,
+        right_on=r_on if r_on != on else None,
+        how=how,
+        num_partitions=num_partitions,
+    )
+    if r_on != on:
+        joined = _drop_if_present(joined, [r_on])
+    return joined
+
+
+def _drop_if_present(ds, cols):
+    """Drop columns when they exist — Ray's native join may or may not
+    emit the right-side key column depending on version/name collision,
+    so a hard drop_columns would KeyError on the absent case."""
+    def fn(t):
+        keep = [c for c in t.column_names if c not in cols]
+        return t.select(keep)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _semi_broadcast(left_ds, arr, on):
+    """The broadcast half of semi_join: ship the distinct key array
+    once via ray.put, filter per batch with a vectorized searchsorted
+    (numeric keys) or set isin (strings). Plain task map — no actor
+    pool spin-up for what is stateless plasma-cached lookup."""
+    import ray
+
+    numeric = np.issubdtype(np.asarray(arr).dtype, np.number)
+    payload = np.unique(arr) if numeric else frozenset(np.asarray(arr).tolist())
+    ref = ray.put(payload)
+
+    def semi(b: pd.DataFrame) -> pd.DataFrame:
+        k = ray.get(ref)  # zero-copy plasma view, cached per worker
+        v = b[on].to_numpy()
+        if numeric:
+            if len(k) == 0:
+                return b.iloc[:0]
+            idx = np.clip(np.searchsorted(k, v), 0, len(k) - 1)
+            return b[k[idx] == v]
+        return b[b[on].isin(k)]
+
+    return left_ds.map_batches(
+        semi, batch_format="pandas", batch_size=131072
+    )
+
+
+def semi_join(
+    left_ds,
+    right_keys_ds,
+    on,
+    right_on=None,
+    broadcast_limit=5_000_000,
+    num_partitions=32,
+):
+    """LEFT SEMI join with the same size guard as :func:`dim_join`:
+    keep rows of ``left_ds`` whose key appears in ``right_keys_ds``,
+    emitting each left row AT MOST ONCE and only left columns.
+
+    ≤ ``broadcast_limit`` keys: the sorted distinct key array ships
+    once via ray.put (zero-copy plasma view per worker) and the filter
+    is a vectorized searchsorted per batch — no exchange. Above it:
+    the key set is globally DEDUPLICATED distributed (coarse-bucketed
+    drop_duplicates — per-batch distinct alone would duplicate left
+    rows through the join) and flows through an inner hash join. Both
+    paths produce identical output (test_dim_join_fallback).
+
+    ``right_keys_ds`` may also be a numpy array / pandas Series of
+    keys the CALLER already collected under its own size guard
+    (e.g. a table_rows() metadata check) — that skips the Ray
+    execution barrier the Dataset guard needs and goes straight to
+    the broadcast filter."""
+    import ray
+
+    from .dedup import _adaptive_coarse, _coarse_bucket
+
+    r_on = right_on or on
+    if isinstance(right_keys_ds, (np.ndarray, pd.Series, list)):
+        arr = np.asarray(
+            right_keys_ds.to_numpy()
+            if isinstance(right_keys_ds, pd.Series)
+            else right_keys_ds
+        )
+        return _semi_broadcast(left_ds, arr, on)
+    keys_ds = right_keys_ds.select_columns([r_on]).materialize()
+    n = keys_ds.count()  # upper bound (pre-dedup) — a safe guard
+    if n <= broadcast_limit:
+        return _semi_broadcast(
+            left_ds, keys_ds.to_pandas()[r_on].to_numpy(), on
+        )
+
+    # distributed: global distinct of the key set, then inner join
+    n_cb = _adaptive_coarse(n, per_group_target=200_000)
+    distinct = (
+        keys_ds.map_batches(
+            lambda b, _n=n_cb: _coarse_bucket(
+                b.drop_duplicates(r_on), r_on, _n
+            ),
+            batch_format="pandas",
+        )
+        .groupby("__ub")
+        .map_groups(
+            lambda g, _c=r_on: g.drop_duplicates(_c)[[_c]],
+            batch_format="pandas",
+        )
+    )
+    j = hash_join(
+        left_ds,
+        distinct,
+        on=on,
+        right_on=r_on if r_on != on else None,
+        num_partitions=num_partitions,
+    )
+    if r_on != on:
+        j = _drop_if_present(j, [r_on])
+    return j

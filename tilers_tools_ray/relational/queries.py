@@ -79,76 +79,127 @@ FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2
 
 
 def q3_top_revenue_orders(sf_dir, broadcast_limit=5_000_000):
-    """Broadcast SEMI-join shape (ray_guide.md): the BUILDING-segment
-    order-key set is moderate → ship it once (one int64 array in the
-    object store), filter lineitem per batch, pre-aggregate revenue
-    per order; no all-to-all exchange. Above ``broadcast_limit`` keys
-    (won't broadcast comfortably) the key set would instead stay a
-    Dataset and go through the partitioned hash join
-    (``ops.hash_join(li, okeys_ds, on='l_orderkey', ...)``) — the
-    documented scale fallback; raised explicitly rather than silently
-    degrading."""
-    import ray
+    """Guarded SEMI-join shape (ray_guide.md): BUILDING customers
+    semi-filter orders, qualifying orders semi-filter lineitem — both
+    hops through ``ops.semi_join``, which broadcasts the distinct key
+    array below ``broadcast_limit`` and falls back to a distributed
+    dedup + inner hash join above it (no driver structure proportional
+    to the customer or order count on either path). Revenue then
+    reduces per order via per-batch partials → coarse-bucketed grouped
+    sum with a per-bucket top-10 partial (a valid partial for the
+    global top-10, the q10 pattern) — only ≤ 10 × n_buckets rows reach
+    the driver. Fallback equivalence: test_q3_semi_fallback."""
+    from .dedup import _adaptive_coarse, _coarse_bucket
 
-    cust = ops.read_pandas(
-        sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]
-    )
-    ckeys = set(cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"])
     orders = ops.read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
-    okeys = np.sort(
-        orders.map_batches(
-            lambda b, _ck=ckeys: b[b["o_custkey"].isin(_ck)][["o_orderkey"]],
-            batch_format="pandas",
-        )
-        .to_pandas()["o_orderkey"]
-        .to_numpy()
-    )
-    if len(okeys) > broadcast_limit:
-        raise ValueError(
-            f"{len(okeys)} semi-join keys exceed broadcast_limit="
-            f"{broadcast_limit}; use the hash_join path for this scale"
-        )
-    okeys_ref = ray.put(okeys)
     li = ops.read(
         sf_dir,
         "lineitem",
         columns=["l_orderkey", "l_extendedprice", "l_discount"],
     )
+    # free parquet-metadata guard: when customer AND orders are under
+    # the limit, collect the two key sets directly (driver pyarrow read
+    # / one bounded scan) and skip two Ray execution barriers — at the
+    # 10¹²-row target both exceed it and the fully distributed
+    # semi_join chain runs instead
+    small = (
+        max(
+            ops.table_rows(sf_dir, "customer"),
+            ops.table_rows(sf_dir, "orders"),
+        )
+        <= broadcast_limit
+    )
+    if small:
+        cust_df = ops.read_pandas(
+            sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]
+        )
+        ckeys = cust_df.loc[
+            cust_df["c_mktsegment"] == "BUILDING", "c_custkey"
+        ].to_numpy()
+        orders_b = ops.semi_join(orders, ckeys, on="o_custkey")
+        okeys = (
+            orders_b.select_columns(["o_orderkey"])
+            .to_pandas()["o_orderkey"]  # bounded by the orders guard
+            .to_numpy()
+        )
+        li_b = ops.semi_join(li, okeys, on="l_orderkey")
+    else:
+        cust = ops.read(
+            sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]
+        )
+        bld = cust.map_batches(
+            lambda b: b.loc[b["c_mktsegment"] == "BUILDING", ["c_custkey"]],
+            batch_format="pandas",
+        )
+        orders_b = ops.semi_join(
+            orders, bld, on="o_custkey", right_on="c_custkey",
+            broadcast_limit=broadcast_limit,
+        )
+        li_b = ops.semi_join(
+            li,
+            orders_b.select_columns(["o_orderkey"]),
+            on="l_orderkey",
+            right_on="o_orderkey",
+            broadcast_limit=broadcast_limit,
+        )
 
-    class SemiRevenue:
-        def __init__(self):
-            self.keys = ray.get(okeys_ref)
+    def partial_rev(b: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "l_orderkey": b["l_orderkey"],
+                "revenue": b["l_extendedprice"] * (1 - b["l_discount"]),
+            }
+        )
+        return out.groupby("l_orderkey", as_index=False, sort=False).agg(
+            revenue=("revenue", "sum")
+        )
 
-        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-            if len(self.keys) == 0:  # no qualifying customers anywhere
-                return pd.DataFrame(
-                    {
-                        "l_orderkey": pd.array([], dtype="int64"),
-                        "revenue": pd.array([], dtype="float64"),
-                    }
-                )
-            idx = np.searchsorted(self.keys, b["l_orderkey"].to_numpy())
-            idx = np.clip(idx, 0, len(self.keys) - 1)
-            hit = self.keys[idx] == b["l_orderkey"].to_numpy()
-            b = b[hit]
-            out = pd.DataFrame(
-                {
-                    "l_orderkey": b["l_orderkey"],
-                    "revenue": b["l_extendedprice"] * (1 - b["l_discount"]),
-                }
+    if small:
+        # guarded driver fold: partial rows (≤ one per batch × order in
+        # the BUILDING tail, bounded via the orders guard) — one pandas
+        # reduce in a single streaming pass beats an all-to-all here
+        df = (
+            li_b.map_batches(
+                partial_rev, batch_format="pandas", batch_size=131072
             )
-            return out.groupby("l_orderkey", as_index=False).agg(
+            .to_pandas()
+            .groupby("l_orderkey", as_index=False)
+            .agg(revenue=("revenue", "sum"))
+        )
+        df["revenue"] = df["revenue"].round(2)
+        df = df.sort_values(
+            ["revenue", "l_orderkey"], ascending=[False, True]
+        ).head(10)
+    else:
+        # scale path: coarse-bucketed grouped sum with a per-bucket
+        # top-10 partial (each order lands wholly in one bucket, so the
+        # per-bucket head is a valid partial for the global top-10)
+        partials = li_b.map_batches(
+            partial_rev, batch_format="pandas", batch_size=131072
+        ).materialize()  # pin before the all-to-all (see exact_dedup)
+        n_cb = _adaptive_coarse(partials.count(), per_group_target=200_000)
+
+        def reduce_top(g: pd.DataFrame) -> pd.DataFrame:
+            agg = g.groupby("l_orderkey", as_index=False, sort=False).agg(
                 revenue=("revenue", "sum")
             )
+            agg["revenue"] = agg["revenue"].round(2)
+            return agg.sort_values(
+                ["revenue", "l_orderkey"], ascending=[False, True]
+            ).head(10)
 
-    partials = li.map_batches(
-        SemiRevenue, batch_format="pandas", batch_size=131072, concurrency=(1, 8)
-    ).to_pandas()
-    df = partials.groupby("l_orderkey", as_index=False).agg(
-        revenue=("revenue", "sum")
-    )
-    df["revenue"] = df["revenue"].round(2)
-    df = df.sort_values(["revenue", "l_orderkey"], ascending=[False, True]).head(10)
+        top = (
+            partials.map_batches(
+                lambda b, _n=n_cb: _coarse_bucket(b.copy(), "l_orderkey", _n),
+                batch_format="pandas",
+            )
+            .groupby("__ub")
+            .map_groups(reduce_top, batch_format="pandas")
+            .to_pandas()  # ≤ 10 × n_buckets rows
+        )
+        df = top.sort_values(
+            ["revenue", "l_orderkey"], ascending=[False, True]
+        ).head(10)
     return pd.DataFrame(
         {"o_orderkey": df["l_orderkey"].astype("int64"), "revenue": df["revenue"]}
     ).reset_index(drop=True)
@@ -164,14 +215,42 @@ GROUP BY o_orderkey ORDER BY revenue DESC, o_orderkey LIMIT 10
 """
 
 
-def q5_nation_revenue(sf_dir):
-    nation = ops.read_pandas(sf_dir, "nation", columns=["n_nationkey", "n_name"])
-    cust = ops.read_pandas(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
-    cust = cust.merge(
-        nation, left_on="c_nationkey", right_on="n_nationkey", how="inner"
-    )[["c_custkey", "n_name"]].rename(columns={"c_custkey": "o_custkey"})
+def q5_nation_revenue(sf_dir, broadcast_limit=5_000_000):
+    """Join strategy sized per table: ``nation`` is a bounded dim (25
+    rows — plain broadcast merge into the customer scan); ``customer``
+    scales with SF, so the orders ⋈ customer hop routes through the
+    size-guarded ``ops.dim_join`` (broadcast under ``broadcast_limit``,
+    partitioned hash join above — test_q5_dim_join_fallback)."""
+    nation = ops.read_pandas(
+        sf_dir, "nation", columns=["n_nationkey", "n_name"]
+    ).rename(columns={"n_nationkey": "c_nationkey"})
     orders = ops.read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
-    orders_n = ops.broadcast_join(orders, cust, on="o_custkey", how="inner")
+    if ops.table_rows(sf_dir, "customer") <= broadcast_limit:
+        # free metadata guard: customer fits → driver pyarrow read +
+        # merge with the bounded nation dim, one broadcast, no Ray
+        # execution barrier for the dimension side
+        cust_n = ops.read_pandas(
+            sf_dir, "customer", columns=["c_custkey", "c_nationkey"]
+        ).merge(nation, on="c_nationkey")[["c_custkey", "n_name"]].rename(
+            columns={"c_custkey": "o_custkey"}
+        )
+        orders_n = ops.broadcast_join(orders, cust_n, on="o_custkey")
+    else:
+        # scale path: customer stays a Dataset (nation merged in as a
+        # bounded broadcast), the orders hop is a partitioned hash join
+        cust_n = ops.broadcast_join(
+            ops.read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]),
+            nation,
+            on="c_nationkey",
+        ).map_batches(
+            lambda b: b[["c_custkey", "n_name"]].rename(
+                columns={"c_custkey": "o_custkey"}
+            ),
+            batch_format="pandas",
+        )
+        orders_n = ops.dim_join(
+            orders, cust_n, on="o_custkey", broadcast_limit=broadcast_limit
+        )
     li = ops.read(
         sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"]
     )
@@ -743,19 +822,22 @@ FROM lineitem GROUP BY 1 ORDER BY 1
 """
 
 
-def segment_year_revenue_pivot(sf_dir):
+def segment_year_revenue_pivot(sf_dir, broadcast_limit=5_000_000):
     """Pivot / wide conditional aggregation: revenue by market segment
     (rows) × order year (columns). Distributed shape: per-batch
     partial sums on the (segment, year) long key — the combiner —
     then the tiny driver-side pivot of ≤ segments × years rows into
     wide exact-cents columns (pivots are presentation; the heavy
     lifting is the long-key aggregate). Oracled via CASE sums."""
-    cust = ops.read_pandas(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    cust = ops.read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
     orders = ops.read(
         sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_totalprice"]
     )
-    joined = ops.broadcast_join(
-        orders, cust.rename(columns={"c_custkey": "o_custkey"}), on="o_custkey"
+    # customer scales with SF → size-guarded dim join, not an
+    # unconditional broadcast (see ops.dim_join)
+    joined = ops.dim_join(
+        orders, cust, on="o_custkey", right_on="c_custkey",
+        broadcast_limit=broadcast_limit,
     )
 
     def enrich(b: pd.DataFrame) -> pd.DataFrame:
@@ -844,21 +926,21 @@ ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
 """
 
 
-def top_orders_per_segment(sf_dir):
+def top_orders_per_segment(sf_dir, broadcast_limit=5_000_000):
     """Per-GROUP top-k (grouped combiner, ops.grouped_topk): the 3
-    highest-value orders in each market segment. Broadcast
-    customer→segment lookup (no shuffle), per-batch group-wise head
-    bounds the grouped merge to k × segments × blocks rows — the
-    orders table is never globally sorted."""
-    cust = (
-        ops.read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
-        .to_pandas()
-        .rename(columns={"c_custkey": "o_custkey"})
-    )
+    highest-value orders in each market segment. Size-guarded
+    customer→segment lookup (ops.dim_join — customer scales with SF),
+    per-batch group-wise head bounds the grouped merge to
+    k × segments × blocks rows — the orders table is never globally
+    sorted."""
+    cust = ops.read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
     orders = ops.read(
         sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"]
     )
-    joined = ops.broadcast_join(orders, cust, on="o_custkey")
+    joined = ops.dim_join(
+        orders, cust, on="o_custkey", right_on="c_custkey",
+        broadcast_limit=broadcast_limit,
+    )
     top = ops.grouped_topk(
         joined, "c_mktsegment", "o_totalprice", 3, tie_col="o_orderkey"
     )
@@ -1003,12 +1085,16 @@ FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
-def brand_volume(sf_dir):
-    part = ops.read_pandas(sf_dir, "part", columns=["p_partkey", "p_brand"]).rename(
-        columns={"p_partkey": "l_partkey"}
-    )
+def brand_volume(sf_dir, broadcast_limit=5_000_000):
+    """Fact ⋈ SF-proportional dim (lineitem ⋈ part): size-guarded via
+    ops.dim_join — part is NOT broadcastable at the 10¹²-row target
+    (test_brand_dim_join_fallback covers the hash path)."""
+    part = ops.read(sf_dir, "part", columns=["p_partkey", "p_brand"])
     li = ops.read(sf_dir, "lineitem", columns=["l_partkey", "l_quantity"])
-    joined = ops.broadcast_join(li, part, on="l_partkey", how="inner")
+    joined = ops.dim_join(
+        li, part, on="l_partkey", right_on="p_partkey",
+        broadcast_limit=broadcast_limit,
+    )
     df = ops.preagg_sum_count_df(
         joined, ["p_brand"], ["l_quantity"], count_alias="n_items"
     )
