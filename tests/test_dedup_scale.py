@@ -253,12 +253,15 @@ def test_rolling_fingerprint_matches_scalar():
 
 
 def test_simhash_matches_scalar():
+    """Batch kernel (__call__, 64 reduceat passes) ≡ per-token scalar
+    definition — both over the vectorized hash_tokens token hash (the
+    r3 Python-md5 kernel was replaced; the definition moves with it)."""
     def scalar_simhash(t):
         votes = np.zeros(64, dtype=np.int64)
         for tok in T._TOKEN_RE.findall(t.lower()):
-            h = T._md5_64(tok)
-            bits = (np.int64(h) >> np.arange(64, dtype=np.int64)) & 1
-            votes += bits * 2 - 1
+            h = np.uint64(T.hash_tokens(np.array([tok], dtype=object))[0])
+            bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+            votes += bits.astype(np.int64) * 2 - 1
         h = 0
         for i in np.flatnonzero(votes > 0):
             h |= 1 << int(i)
@@ -269,7 +272,33 @@ def test_simhash_matches_scalar():
         " ".join(rng.choice(_WORDS, size=30).tolist()) for _ in range(30)
     )]
     sh = T.SimHasher()
-    assert [sh.simhash_one(t) for t in texts] == [scalar_simhash(t) for t in texts]
+    expect = [scalar_simhash(t) for t in texts]
+    assert [sh.simhash_one(t) for t in texts] == expect
+    batch = pd.DataFrame({"doc_id": np.arange(len(texts)), "text": texts})
+    got = list(sh(batch)["simhash"])
+    assert got == expect
+
+
+def test_minhash_batch_matches_scalar_signature():
+    """Vectorized MinHasher.__call__ (flat-array shingle combine +
+    reduceat minima) ≡ the per-document signature() definition,
+    including short (<k tokens) and empty documents."""
+    rng = np.random.default_rng(17)
+    texts = [
+        "",
+        "one",
+        "two words",
+        "three tokens here",
+        *(
+            " ".join(rng.choice(_WORDS, size=int(rng.integers(1, 80))).tolist())
+            for _ in range(40)
+        ),
+    ]
+    mh = T.MinHasher()
+    batch = pd.DataFrame({"doc_id": np.arange(len(texts)), "text": texts})
+    got = mh(batch)["minhash"].tolist()
+    expect = [mh.signature(t).tolist() for t in texts]
+    assert got == expect
 
 
 def test_langid_batch_matches_predict_one():
