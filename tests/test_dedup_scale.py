@@ -516,10 +516,13 @@ def test_hamming_blocks_scheme_equals_bands(ray_session):
     )
 
 
-def test_clean_image_corpus_planted(ray_session):
+@pytest.mark.parametrize("cc_method", ["driver", "labelprop"])
+def test_clean_image_corpus_planted(ray_session, cc_method):
     """Planted phash clusters: exact copies (same phash), a 1-bit
     near copy, and far singletons — every member maps to its
-    cluster-minimum image_id, singletons to themselves."""
+    cluster-minimum image_id, singletons to themselves. Runs through
+    BOTH component paths (driver union-find and distributed min-label
+    propagation) — they must agree exactly."""
     import numpy as np
     import pandas as pd
     import ray.data as rd
@@ -544,7 +547,9 @@ def test_clean_image_corpus_planted(ray_session):
         }
     )
     out = (
-        dedup.clean_image_corpus(rd.from_pandas(rows), max_hamming=6)
+        dedup.clean_image_corpus(
+            rd.from_pandas(rows), max_hamming=6, cc_method=cc_method
+        )
         .to_pandas()
         .set_index("image_id")
     )

@@ -481,6 +481,7 @@ def hamming_band_pairs(
     n_coarse=None,
     id_dtype="int64",
     scheme="auto",
+    as_dataset=False,
 ):
     """Generic 64-bit-signature near-dup pairs via pigeonhole banding
     (see :func:`_band_keys` for the two complete-recall schemes).
@@ -493,7 +494,10 @@ def hamming_band_pairs(
     ``id_dtype="object"`` for string ids like image_id).
     ``n_coarse=None`` derives the shuffle-bucket count from corpus
     size (see _adaptive_coarse). Returns (doc_a, doc_b, hamming),
-    doc_a < doc_b, sorted — callers rename the id columns."""
+    doc_a < doc_b, sorted — callers rename the id columns. With
+    ``as_dataset=True`` the distinct pair Dataset is returned
+    materialized instead of collected — the 10¹²-scale entry for
+    callers feeding :func:`_cc_label_propagation`."""
     n_docs = sig_ds.count()
     if scheme == "auto":
         scheme = "blocks" if n_docs >= 100_000 else "bands"
@@ -553,6 +557,8 @@ def hamming_band_pairs(
 
     raw = exploded.groupby("__coarse").map_groups(pair_kernel, batch_format="pandas")
     distinct = _distinct_pairs(raw, extra_cols=("hamming",), n_coarse=n_coarse)
+    if as_dataset:
+        return distinct.materialize()  # pinned: callers count + re-consume
     df = distinct.to_pandas()
     if len(df) == 0:
         return pd.DataFrame(
@@ -842,13 +848,19 @@ def _cc_label_propagation(edges_ds, *, num_partitions=8, max_rounds=64):
 
     # materialize: the per-round joins re-consume both sides, and on
     # Ray 2.49 an aggregate over a lazy chain holding another
-    # all-to-all thrashes (see exact_dedup)
-    edges_ds = _as_arrow(edges_ds).materialize()
-    labels = _as_arrow(
-        edges_ds.map_batches(to_nodes, batch_format="pandas")
-        .groupby("node")
-        .aggregate(Min("label", alias_name="label"))
-    ).materialize()
+    # all-to-all thrashes (see exact_dedup). drop_empty_blocks: a
+    # leading zero-row block starves the join's schema broadcast
+    # (see ops.drop_empty_blocks).
+    from .ops import drop_empty_blocks
+
+    edges_ds = drop_empty_blocks(_as_arrow(edges_ds))
+    labels = drop_empty_blocks(
+        _as_arrow(
+            edges_ds.map_batches(to_nodes, batch_format="pandas")
+            .groupby("node")
+            .aggregate(Min("label", alias_name="label"))
+        )
+    )
     if labels.count() == 0:
         return labels
 
@@ -866,9 +878,12 @@ def _cc_label_propagation(edges_ds, *, num_partitions=8, max_rounds=64):
         )
 
     for _ in range(max_rounds):
-        ea = edges_ds.join(
-            labels, "inner", num_partitions, on=("a",), right_on=("node",)
-        )  # → a, b, label(=la)
+        ea = drop_empty_blocks(
+            edges_ds.join(
+                labels, "inner", num_partitions, on=("a",), right_on=("node",)
+            )
+        )  # → a, b, label(=la); the drop also pins the chain, avoiding
+        # the Ray 2.49 chained-all-to-all re-execution (see exact_dedup)
         eab = ea.join(
             labels,
             "inner",
@@ -883,11 +898,13 @@ def _cc_label_propagation(edges_ds, *, num_partitions=8, max_rounds=64):
         ).materialize()  # improving offers only: shrinks every round
         if msg.count() == 0:
             break
-        labels = _as_arrow(
-            labels.union(msg)
-            .groupby("node")
-            .aggregate(Min("label", alias_name="label"))
-        ).materialize()
+        labels = drop_empty_blocks(
+            _as_arrow(
+                labels.union(msg)
+                .groupby("node")
+                .aggregate(Min("label", alias_name="label"))
+            )
+        )
     return labels
 
 
@@ -1048,7 +1065,13 @@ def clean_corpus(
 
     # --- distributed label propagation (nothing driver-proportional) ------
     labels = _cc_label_propagation(edges_ds)
-    joined = docs_ds.select_columns(["doc_id"]).join(
+    from .ops import drop_empty_blocks as _deb
+
+    joined = _deb(
+        docs_ds.select_columns(["doc_id"]).map_batches(
+            lambda t: t, batch_format="pyarrow"
+        )
+    ).join(
         labels, "left_outer", 8, on=("doc_id",), right_on=("node",)
     )  # → doc_id, label (null for docs with no dup edge)
 
@@ -1084,7 +1107,14 @@ def ngram_jaccard_matrix(texts, k=3):
     return out
 
 
-def clean_image_corpus(images_ds, *, max_hamming=6, n_coarse=None):
+def clean_image_corpus(
+    images_ds,
+    *,
+    max_hamming=6,
+    n_coarse=None,
+    cc_method="auto",
+    cc_edge_limit=2_000_000,
+):
     """End-to-end IMAGE corpus dedup → one canonical survivor per
     near-duplicate cluster, the image twin of :func:`clean_corpus`.
 
@@ -1093,11 +1123,12 @@ def clean_image_corpus(images_ds, *, max_hamming=6, n_coarse=None):
     copies share a node for free — the "exact" edge family collapses
     into the graph), edges are hamming ≤ k pairs from the banded
     pigeonhole core (:func:`hamming_band_pairs` — (id, phash) rows
-    only, pixels never move). The node domain being int64 keeps the
-    component step swappable for :func:`_cc_label_propagation` at
-    10¹² scale (string image ids never enter the CC); here the driver
-    union-find over the EDGE list (≪ corpus) is the fast path, same
-    policy/bound as clean_corpus's driver mode.
+    only, pixels never move). The node domain is int64 phashes, so
+    the component step takes the same auto switch as
+    :func:`clean_corpus`: driver union-find over the collected edge
+    list below ``cc_edge_limit`` (O(edges), edges ≪ corpus), fully
+    distributed :func:`_cc_label_propagation` above it — nothing on
+    the driver proportional to nodes or edges at 10¹² scale.
 
     Canonical selection is distributed: map each image to its phash
     component, grouped ``Min`` on image_id per component, hash-join
@@ -1129,46 +1160,92 @@ def clean_image_corpus(images_ds, *, max_hamming=6, n_coarse=None):
             batch_format="pandas",
         )
     )
-    edges = hamming_band_pairs(
+    edges_ds = hamming_band_pairs(
         sig, id_col="pid", hash_col="ph", max_hamming=max_hamming,
-        n_coarse=n_coarse,
+        n_coarse=n_coarse, as_dataset=True,
     )
+    n_edges = edges_ds.count()
 
-    # driver union-find over phash edges (|edges| ≪ corpus)
-    parent = {}
+    if cc_method == "driver" or (cc_method == "auto" and n_edges <= cc_edge_limit):
+        # --- driver union-find over phash edges (|edges| ≪ corpus) -----
+        edges = (
+            edges_ds.to_pandas()
+            if n_edges
+            else pd.DataFrame({"doc_a": [], "doc_b": []})
+        )
+        parent = {}
 
-    def find(a):
-        while parent.get(a, a) != a:
-            parent[a] = parent.get(parent[a], parent[a])
-            a = parent[a]
-        return a
+        def find(a):
+            while parent.get(a, a) != a:
+                parent[a] = parent.get(parent[a], parent[a])
+                a = parent[a]
+            return a
 
-    for a, b in zip(edges["doc_a"], edges["doc_b"]):
-        ra, rb = find(int(a)), find(int(b))
-        if ra != rb:
-            lo, hi = (ra, rb) if ra < rb else (rb, ra)
-            parent[hi] = lo
-    label = {p: find(p) for p in list(parent)}
-    lref = ray.put(label)
+        for a, b in zip(edges["doc_a"], edges["doc_b"]):
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        label = {p: find(p) for p in list(parent)}
+        lref = ray.put(label)
 
-    class CompOf:
-        def __init__(self):
-            self.label = ray.get(lref)
+        class CompOf:
+            def __init__(self):
+                self.label = ray.get(lref)
 
-        def __call__(self, b: pd.DataFrame) -> pa.Table:
-            ph = b["phash"].to_numpy(dtype=np.int64)
-            comp = np.fromiter(
-                (self.label.get(int(p), int(p)) for p in ph),
-                dtype=np.int64,
-                count=len(ph),
+            def __call__(self, b: pd.DataFrame) -> pa.Table:
+                ph = b["phash"].to_numpy(dtype=np.int64)
+                comp = np.fromiter(
+                    (self.label.get(int(p), int(p)) for p in ph),
+                    dtype=np.int64,
+                    count=len(ph),
+                )
+                return pa.table(
+                    {"image_id": b["image_id"].to_numpy(dtype=object), "comp": comp}
+                )
+
+        comp_ds = slim.map_batches(
+            CompOf, batch_format="pandas", batch_size=65536, concurrency=2
+        ).materialize()  # consumed twice: grouped reduce + final assign
+    else:
+        # --- distributed min-label propagation over phash nodes --------
+        def _ab(b: pd.DataFrame) -> pd.DataFrame:
+            if "doc_a" not in b.columns:  # empty-schema sentinel block
+                return pd.DataFrame(
+                    {
+                        "a": pd.array([], dtype="int64"),
+                        "b": pd.array([], dtype="int64"),
+                    }
+                )
+            return pd.DataFrame(
+                {
+                    "a": b["doc_a"].to_numpy(dtype=np.int64),
+                    "b": b["doc_b"].to_numpy(dtype=np.int64),
+                }
             )
+
+        labels = _cc_label_propagation(
+            edges_ds.map_batches(_ab, batch_format="pandas")
+        )
+        from .ops import drop_empty_blocks as _deb
+
+        joined = _deb(
+            slim.map_batches(lambda t: t, batch_format="pyarrow")
+        ).join(
+            labels, "left_outer", 8, on=("phash",), right_on=("node",)
+        )  # → image_id, phash, label (null for phashes with no dup edge)
+
+        def _finish(b: pd.DataFrame) -> pa.Table:
+            ph = b["phash"].to_numpy(dtype=np.int64)
+            lab = b["label"].to_numpy()
+            comp = np.where(pd.isna(lab), ph, lab).astype(np.int64)
             return pa.table(
                 {"image_id": b["image_id"].to_numpy(dtype=object), "comp": comp}
             )
 
-    comp_ds = slim.map_batches(
-        CompOf, batch_format="pandas", batch_size=65536, concurrency=2
-    ).materialize()  # consumed twice: grouped reduce + final assign
+        comp_ds = joined.map_batches(
+            _finish, batch_format="pandas"
+        ).materialize()  # consumed twice: grouped reduce + final assign
     # canonical ≠ self ONLY inside comps with ≥2 members, and those are
     # bounded by the duplicate count (same bound as the edge list) — so
     # reduce to (comp, min image_id) for multi-member comps only and

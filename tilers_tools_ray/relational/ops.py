@@ -100,6 +100,35 @@ def _cap_join_partitions(num_partitions):
     return max(2, min(int(num_partitions), ncpu))
 
 
+def drop_empty_blocks(ds):
+    """Rebuild a dataset without its zero-row blocks (metadata-only —
+    no block data touches the driver). Feed join inputs through this:
+    Ray 2.49's hash-shuffle join broadcasts each side's schema with the
+    FIRST block it submits, but `_shuffle_block` short-circuits on an
+    empty block (hash_shuffle.py:224) AFTER the submit loop marked the
+    schema as sent — so a leading empty block permanently starves
+    schema-less partitions and acero raises ``No match ... for key
+    field reference`` at finalize (reproduced on a 1-edge graph).
+    Materializes ``ds`` if it isn't already; all-empty inputs are
+    returned as-is (nothing to join anyway). Blocks must be Arrow
+    (true for every join call site here — inputs are normalized via
+    ``map_batches(..., batch_format="pyarrow")``)."""
+    import ray
+    import ray.data as rd
+
+    mat = ds.materialize()
+    refs, dropped = [], 0
+    for bundle in mat.iter_internal_ref_bundles():
+        for ref, meta in bundle.blocks:
+            if meta.num_rows:
+                refs.append(ref)
+            else:
+                dropped += 1
+    if not refs or not dropped:
+        return mat
+    return rd.from_arrow_refs(refs)
+
+
 def hash_join(
     left_ds, right_ds, on, right_on=None, how="inner", num_partitions=32
 ):
