@@ -98,6 +98,9 @@ def test_entry_smoke(ray_session):
         "lang_id",
         "ann_cosine_topk",
         "embedding_dup_pairs",
+        "q17_small_quantity_revenue",
+        "nation_year_rollup",
+        "doc_bigrams",
     ],
 )
 def test_oracle_match(registry, name):
@@ -447,6 +450,8 @@ def test_inactive_anti_join_fallback(registry):
         "segment_year_revenue_pivot",
         "top_orders_per_segment",
         "brand_volume",
+        "q17_small_quantity_revenue",
+        "nation_year_rollup",
     ],
 )
 def test_dim_join_fallback(registry, name):

@@ -100,7 +100,7 @@ def _cap_join_partitions(num_partitions):
     return max(2, min(int(num_partitions), ncpu))
 
 
-def drop_empty_blocks(ds):
+def drop_empty_blocks(ds, normalize=False):
     """Rebuild a dataset without its zero-row blocks (metadata-only —
     no block data touches the driver). Feed join inputs through this:
     Ray 2.49's hash-shuffle join broadcasts each side's schema with the
@@ -112,10 +112,14 @@ def drop_empty_blocks(ds):
     Materializes ``ds`` if it isn't already; all-empty inputs are
     returned as-is (nothing to join anyway). Blocks must be Arrow
     (true for every join call site here — inputs are normalized via
-    ``map_batches(..., batch_format="pyarrow")``)."""
+    ``map_batches(..., batch_format="pyarrow")``); pass
+    ``normalize=True`` when block types are unknown (e.g. pandas
+    map_groups output) — adds one arrow-normalizing pass first."""
     import ray
     import ray.data as rd
 
+    if normalize:
+        ds = ds.map_batches(lambda t: t, batch_format="pyarrow")
     mat = ds.materialize()
     refs, dropped = [], 0
     for bundle in mat.iter_internal_ref_bundles():
@@ -822,7 +826,11 @@ def dim_join(
         return broadcast_join(left_ds, rdf, on=on, how=how)
     joined = hash_join(
         left_ds,
-        right_ds,
+        # dim sides may carry empty-schema sentinel blocks (map_groups
+        # output) that starve the join's schema broadcast — see
+        # drop_empty_blocks; normalize=True because block types here
+        # are caller-dependent (pandas or arrow)
+        drop_empty_blocks(right_ds, normalize=True),
         on=on,
         right_on=r_on if r_on != on else None,
         how=how,

@@ -1115,6 +1115,184 @@ GROUP BY p_brand ORDER BY p_brand
 """
 
 
+def q17_small_quantity_revenue(sf_dir, broadcast_limit=5_000_000):
+    """TPC-H Q17 shape: FACT ⋈ AGGREGATE-OF-SAME-FACT — yearly revenue
+    lost to small-quantity orders. The per-part average is computed
+    distributed (per-batch partial sums → coarse-bucket grouped fold;
+    part keys are SF-proportional, so no per-key grouped aggregate and
+    nothing driver-side), then joined back onto lineitem through the
+    size-guarded ops.dim_join (broadcast at test SF, partitioned hash
+    join at scale). The qty limit is computed as ``0.2 * (sum/n)`` in
+    exactly DuckDB's operation order so the float boundary compare is
+    bit-deterministic (l_quantity is integer-valued)."""
+    from .dedup import _adaptive_coarse, _coarse_bucket
+
+    li = ops.read(
+        sf_dir, "lineitem",
+        columns=["l_partkey", "l_quantity", "l_extendedprice"],
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("l_partkey", as_index=False, sort=False).agg(
+            qty=("l_quantity", "sum"), n=("l_quantity", "size")
+        )
+
+    partials = li.map_batches(
+        partial, batch_format="pandas", batch_size=65536
+    ).materialize()  # consumed by count() + the bucketed fold
+    n_b = _adaptive_coarse(partials.count(), per_group_target=200_000)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        f = g.groupby("l_partkey", as_index=False, sort=False).agg(
+            qty=("qty", "sum"), n=("n", "sum")
+        )
+        return pd.DataFrame(
+            {
+                "l_partkey": f["l_partkey"],
+                # 0.2 * avg, in DuckDB's op order (divide first)
+                "qty_limit": 0.2 * (f["qty"].to_numpy() / f["n"].to_numpy()),
+            }
+        )
+
+    limits = (
+        partials.map_batches(
+            lambda b, _n=n_b: _coarse_bucket(b.copy(), "l_partkey", _n),
+            batch_format="pandas",
+        )
+        .groupby("__ub")
+        .map_groups(fold, batch_format="pandas")
+    )
+    joined = ops.dim_join(
+        li, limits, on="l_partkey", broadcast_limit=broadcast_limit
+    )
+
+    def cents(b: pd.DataFrame) -> pd.DataFrame:
+        m = b["l_quantity"].to_numpy() < b["qty_limit"].to_numpy()
+        c = np.round(b["l_extendedprice"].to_numpy()[m] * 100).astype(np.int64)
+        return pd.DataFrame({"cents": np.array([c.sum()], dtype=np.int64)})
+
+    total = int(joined.map_batches(cents, batch_format="pandas").sum("cents"))
+    return pd.DataFrame(
+        {"avg_yearly_cents": np.array([round(total / 7.0)], dtype=np.int64)}
+    )
+
+
+Q17_SQL = """
+SELECT CAST(round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 7.0)
+       AS BIGINT) AS avg_yearly_cents
+FROM lineitem l JOIN (
+  SELECT l_partkey AS pk, 0.2 * avg(l_quantity) AS lim
+  FROM lineitem GROUP BY l_partkey
+) t ON l.l_partkey = t.pk
+WHERE l.l_quantity < t.lim
+"""
+
+
+def nation_year_rollup(sf_dir, broadcast_limit=5_000_000):
+    """Multi-level (ROLLUP) aggregate: revenue by (nation, year), by
+    nation, and grand total, in ONE shuffle — the finest groupby runs
+    distributed (per-batch partials, bounded 25 × years result) and the
+    coarser levels roll up from it driver-side, instead of re-scanning
+    orders three times. customer is SF-proportional → size-guarded
+    dim_join; nation is a bounded dim → plain broadcast map. Subtotal
+    rows are marked with the 'ALL' sentinel (no NULL-vs-hash
+    ambiguity)."""
+    ords = ops.read(
+        sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_totalprice"]
+    )
+    cust = ops.read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    nat = ops.read_pandas(sf_dir, "nation", columns=["n_nationkey", "n_name"])
+    j = ops.dim_join(
+        ords, cust, on="o_custkey", right_on="c_custkey",
+        broadcast_limit=broadcast_limit,
+    )
+    nmap = dict(zip(nat["n_nationkey"].astype("int64"), nat["n_name"]))
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        year = pd.to_datetime(b["o_orderdate"]).dt.year.astype("int64")
+        cents = np.round(b["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "n_name": b["c_nationkey"].astype("int64").map(nmap),
+                "o_year": year.astype(str),
+                "revenue_cents": cents,
+            }
+        )
+
+    pre = j.map_batches(prep, batch_format="pandas")
+    fine = ops.preagg_sum_count_df(
+        pre, ["n_name", "o_year"], ["revenue_cents"], count_alias="__n"
+    )[["n_name", "o_year", "revenue_cents"]]
+    bynat = (
+        fine.groupby("n_name", as_index=False)["revenue_cents"]
+        .sum()
+        .assign(o_year="ALL")[["n_name", "o_year", "revenue_cents"]]
+    )
+    total = pd.DataFrame(
+        {
+            "n_name": ["ALL"],
+            "o_year": ["ALL"],
+            "revenue_cents": [fine["revenue_cents"].sum()],
+        }
+    )
+    out = pd.concat([fine, bynat, total], ignore_index=True)
+    out["revenue_cents"] = out["revenue_cents"].astype("int64")
+    return out.sort_values(["n_name", "o_year"]).reset_index(drop=True)
+
+
+ROLLUP_SQL = """
+SELECT COALESCE(n_name, 'ALL') AS n_name,
+       COALESCE(CAST(year(o_orderdate) AS VARCHAR), 'ALL') AS o_year,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY ROLLUP (n_name, CAST(year(o_orderdate) AS VARCHAR))
+ORDER BY n_name, o_year
+"""
+
+
+def doc_bigrams(sf_dir, k=20):
+    """Certified corpus-wide top-k token BIGRAMS: the tokenizer is
+    doc_top_terms' ([a-z0-9]+ runs of lowered text); consecutive-token
+    pairs are built vectorized (explode + same-doc shift mask — no
+    per-document Python loop) and fed to ops.heavy_hitters, so the
+    result is provably the exact top-k while driver memory stays
+    O(capacity) regardless of bigram-vocabulary size."""
+    docs = ops.read(sf_dir, "documents", columns=["text"])
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].str.lower().str.findall(r"[a-z0-9]+")
+        s = toks.explode().dropna()
+        if len(s) < 2:
+            return pd.DataFrame({"bigram": pd.Series([], dtype=object)})
+        idx = s.index.to_numpy()
+        w = s.to_numpy()
+        same = idx[1:] == idx[:-1]  # consecutive tokens of the SAME doc
+        left = pd.Series(w[:-1][same], dtype=object)
+        right = pd.Series(w[1:][same], dtype=object)
+        return pd.DataFrame({"bigram": left + " " + right})
+
+    bgs = docs.map_batches(explode, batch_format="pandas")
+    return ops.heavy_hitters(bgs, "bigram", k=k, capacity=8192).reset_index(
+        drop=True
+    )
+
+
+BIGRAMS_SQL = """
+WITH t AS (
+  SELECT list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS l
+  FROM documents)
+SELECT bg AS bigram, count(*) AS cnt FROM (
+  SELECT unnest(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1]))
+         AS bg
+  FROM t WHERE len(l) > 1)
+GROUP BY bg ORDER BY cnt DESC, bg LIMIT 20
+"""
+
+
 def _user_bucketed(ev):
     """Coarse-key events by hash(user) — each user lands wholly in one
     bucket-group, so per-user windowing runs as ONE vectorized pandas
@@ -2144,6 +2322,9 @@ QUERIES = {
     "events_asof_last_click": events_asof_last_click,
     "customer_order_windows": customer_order_windows,
     "brand_volume": brand_volume,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
+    "nation_year_rollup": nation_year_rollup,
+    "doc_bigrams": doc_bigrams,
     "orders_price_band_join": orders_price_band_join,
     "order_price_quantiles": order_price_quantiles,
     "segment_distinct_customers": segment_distinct_customers,
@@ -2198,6 +2379,9 @@ ORACLES = {
     "returnflag_price_stats": VARIANCE_SQL,
     "segment_year_revenue_pivot": PIVOT_SQL,
     "brand_volume": BRAND_SQL,
+    "q17_small_quantity_revenue": Q17_SQL,
+    "nation_year_rollup": ROLLUP_SQL,
+    "doc_bigrams": BIGRAMS_SQL,
     "orders_price_band_join": BAND_JOIN_SQL,
     "order_price_quantiles": QUANTILES_SQL,
     "segment_distinct_customers": DISTINCT_SQL,
