@@ -67,6 +67,13 @@ BENCH_QUERIES = [
     "dedup_clean_images",
     "returnflag_price_stats",
     "segment_year_revenue_pivot",
+    "q17_small_quantity_revenue",
+    "nation_year_rollup",
+    "doc_bigrams",
+    "q13_order_distribution",
+    "acctbal_quartiles",
+    "orders_events_daily_outer",
+    "doc_salient_terms",
 ]
 
 CORPUS_ROWS = {"sf0.1": 25000, "sf0.01": 2000, "sf0.001": 400}

@@ -101,6 +101,10 @@ def test_entry_smoke(ray_session):
         "q17_small_quantity_revenue",
         "nation_year_rollup",
         "doc_bigrams",
+        "q13_order_distribution",
+        "acctbal_quartiles",
+        "orders_events_daily_outer",
+        "doc_salient_terms",
     ],
 )
 def test_oracle_match(registry, name):
@@ -293,6 +297,38 @@ def test_grouped_topk_matches_pandas(ray_session):
     )
 
 
+def test_with_row_rank_is_global_row_number(ray_session):
+    """ops.with_row_rank assigns the exact global ROW_NUMBER of the
+    total order across shuffled multi-block input (ranks must be a
+    permutation-free 0..n-1 sequence consistent with the sort key),
+    and block layout must not matter."""
+    import numpy as np
+    import ray.data as rd
+
+    from tilers_tools_ray.relational import ops
+
+    rng = np.random.default_rng(7)
+    n = 4000
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 100, n),  # many ties
+            "id": rng.permutation(n).astype("int64"),
+        }
+    )
+    for parts in (3, 17):
+        ds = rd.from_pandas(df).repartition(parts)
+        got = (
+            _to_pandas(ops.with_row_rank(ds, ["k", "id"], rank_col="r"))
+            .sort_values("r")
+            .reset_index(drop=True)
+        )
+        exp = df.sort_values(["k", "id"]).reset_index(drop=True)
+        assert (got["r"].to_numpy() == np.arange(n)).all()
+        pd.testing.assert_frame_equal(
+            got[["k", "id"]], exp, check_dtype=False
+        )
+
+
 def test_hash_sample_block_layout_invariant(ray_session):
     """The multiplicative-hash sample is a pure row predicate: the
     same rows are kept regardless of block layout, and the rate is
@@ -452,6 +488,7 @@ def test_inactive_anti_join_fallback(registry):
         "brand_volume",
         "q17_small_quantity_revenue",
         "nation_year_rollup",
+        "doc_salient_terms",
     ],
 )
 def test_dim_join_fallback(registry, name):

@@ -256,6 +256,61 @@ def preagg_sum_count_df(ds, keys, sum_cols, count_alias="n"):
     )
 
 
+def with_row_rank(ds, sort_cols, rank_col="row_rank", descending=False):
+    """Global ROW_NUMBER() OVER (ORDER BY sort_cols): the one window
+    shape Ray Data's API can't express (every row needs its exact
+    position in the TOTAL order, not a per-group or per-batch one).
+
+    Plan: one range-partitioned ``sort`` (the unavoidable all-to-all —
+    exact ranks require a total order), then ranks are assigned with
+    ZERO extra data movement: the sorted blocks' row counts are read
+    from driver-side metadata only (no block data touches the driver),
+    prefix-summed into per-block start offsets, and one raw Ray task
+    per block appends ``offset + arange(n)``. Raw tasks (not
+    map_batches) because the rank of a block depends on its POSITION
+    in the sorted block sequence — per-batch transforms are
+    deliberately position-blind. Output rebuilds as a Dataset via
+    ``from_arrow_refs`` (blocks stay in the object store).
+
+    Ranks are 0-based and dense; ties broken by making ``sort_cols``
+    unique (append a key column), exactly like SQL ROW_NUMBER with a
+    deterministic ORDER BY."""
+    import ray
+    import ray.data as rd
+
+    if isinstance(sort_cols, str):
+        sort_cols = [sort_cols]
+    mat = ds.sort(sort_cols, descending=descending).materialize()
+    blocks = [
+        (ref, meta.num_rows)
+        for bundle in mat.iter_internal_ref_bundles()
+        for ref, meta in bundle.blocks
+    ]
+
+    @ray.remote
+    def _stamp(block, offset, col):
+        import numpy as _np
+        import pyarrow as _pa
+
+        if not isinstance(block, _pa.Table):  # pandas block (e.g.
+            block = _pa.Table.from_pandas(  # from_pandas input)
+                block, preserve_index=False
+            )
+        return block.append_column(
+            col, _pa.array(_np.arange(offset, offset + block.num_rows))
+        )
+
+    refs, off = [], 0
+    for ref, n in blocks:
+        if not n:
+            continue
+        refs.append(_stamp.remote(ref, off, rank_col))
+        off += n
+    if not refs:
+        return mat
+    return rd.from_arrow_refs(refs)
+
+
 def topk(ds, by, k, descending=True, tie_col=None):
     """Global top-k: per-block partial top-k then a final sort+limit
     (the partial pass bounds what the sort shuffles)."""

@@ -1293,6 +1293,320 @@ GROUP BY bg ORDER BY cnt DESC, bg LIMIT 20
 """
 
 
+def q13_order_distribution(sf_dir):
+    """TPC-H Q13 shape (customer order-count distribution) with the
+    LEFT JOIN **eliminated**: custdist(c) for c>=1 is just the
+    histogram of per-custkey order counts, and custdist(0) is
+    n_customers − n_active — so the SF-proportional customer⟕orders
+    join the SQL writes never needs to run. Per-custkey counts are
+    exact via per-batch partials + a coarse-bucket fold (custkey is
+    SF-proportional → no per-key grouped aggregate); the histogram
+    re-reduces those counts (distinct count VALUES are bounded), so
+    nothing SF-proportional reaches the driver."""
+    from .dedup import _adaptive_coarse, _coarse_bucket
+
+    ords = ops.read(sf_dir, "orders", columns=["o_custkey"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("o_custkey", as_index=False, sort=False).agg(
+            n=("o_custkey", "size")
+        )
+
+    partials = ords.map_batches(
+        partial, batch_format="pandas", batch_size=65536
+    ).materialize()  # consumed by count() + the bucketed fold
+    n_b = _adaptive_coarse(partials.count(), per_group_target=200_000)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        per_key = g.groupby("o_custkey", sort=False)["n"].sum()
+        hist = per_key.value_counts()  # bounded: distinct count values
+        return pd.DataFrame(
+            {
+                "c_count": hist.index.to_numpy(np.int64),
+                "custdist": hist.to_numpy(np.int64),
+            }
+        )
+
+    hist = (
+        partials.map_batches(
+            lambda b, _n=n_b: _coarse_bucket(b.copy(), "o_custkey", _n),
+            batch_format="pandas",
+        )
+        .groupby("__ub")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()  # bounded: distinct-count-values × buckets rows
+        .groupby("c_count", as_index=False)["custdist"]
+        .sum()
+    )
+    n_cust = ops.read(sf_dir, "customer", columns=["c_custkey"]).count()
+    zero = int(n_cust) - int(hist["custdist"].sum())
+    if zero:
+        hist = pd.concat(
+            [hist, pd.DataFrame({"c_count": [0], "custdist": [zero]})],
+            ignore_index=True,
+        )
+    hist = hist.astype({"c_count": "int64", "custdist": "int64"})
+    return hist.sort_values(
+        ["custdist", "c_count"], ascending=[False, False]
+    ).reset_index(drop=True)
+
+
+Q13_SQL = """
+SELECT c_count, count(*) AS custdist FROM (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey) t
+GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def acctbal_quartiles(sf_dir):
+    """Exact NTILE(4) OVER (PARTITION BY segment ORDER BY acctbal,
+    custkey) — the global ranked-window shape — via ops.with_row_rank:
+    ONE range-partitioned sort is the only all-to-all; ranks come from
+    block metadata offsets (zero extra movement), segment start
+    offsets from a bounded 5-row count table, and SQL's NTILE
+    remainder rule (first n%4 tiles one row larger) is applied
+    vectorized per batch. Output is integer-only (counts + summed
+    cents) so the oracle hash is dtype-exact."""
+    cust = ops.read(
+        sf_dir, "customer", columns=["c_custkey", "c_acctbal", "c_mktsegment"]
+    )
+    ranked = ops.with_row_rank(
+        cust, ["c_mktsegment", "c_acctbal", "c_custkey"], rank_col="__r"
+    )
+    # bounded: 5 segments; sorted lexically to match the sort order
+    seg_n = ops.preagg_sum_count_df(
+        ranked, ["c_mktsegment"], [], count_alias="n"
+    ).sort_values("c_mktsegment")
+    starts = dict(
+        zip(seg_n["c_mktsegment"], seg_n["n"].cumsum().shift(fill_value=0))
+    )
+    sizes = dict(zip(seg_n["c_mktsegment"], seg_n["n"]))
+
+    def tile(b: pd.DataFrame) -> pd.DataFrame:
+        i = b["__r"].to_numpy(np.int64) - b["c_mktsegment"].map(starts).to_numpy(
+            np.int64
+        )
+        n = b["c_mktsegment"].map(sizes).to_numpy(np.int64)
+        sz, rem = n // 4, n % 4
+        big = rem * (sz + 1)  # rows covered by the (sz+1)-sized tiles
+        q = np.where(
+            i < big, i // np.maximum(sz + 1, 1), rem + (i - big) // np.maximum(sz, 1)
+        )
+        cents = np.round(b["c_acctbal"].to_numpy() * 100).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "c_mktsegment": b["c_mktsegment"],
+                "q": (q + 1).astype(np.int64),
+                "sum_acctbal_cents": cents,
+            }
+        )
+
+    out = ops.preagg_sum_count_df(
+        ranked.map_batches(tile, batch_format="pandas"),
+        ["c_mktsegment", "q"],
+        ["sum_acctbal_cents"],
+        count_alias="n_cust",
+    )
+    out = out.astype(
+        {"q": "int64", "n_cust": "int64", "sum_acctbal_cents": "int64"}
+    )[["c_mktsegment", "q", "n_cust", "sum_acctbal_cents"]]
+    return out.sort_values(["c_mktsegment", "q"]).reset_index(drop=True)
+
+
+NTILE_SQL = """
+SELECT c_mktsegment, q, count(*) AS n_cust,
+       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+         AS sum_acctbal_cents
+FROM (SELECT c_mktsegment, c_acctbal,
+        NTILE(4) OVER (PARTITION BY c_mktsegment
+                       ORDER BY c_acctbal, c_custkey) AS q
+      FROM customer)
+GROUP BY c_mktsegment, q ORDER BY c_mktsegment, q
+"""
+
+
+def orders_events_daily_outer(sf_dir):
+    """FULL OUTER join of two per-day aggregates (orders revenue vs
+    event traffic) — the join mode the registry lacked. Each side
+    pre-aggregates per-batch then folds per day (day cardinality is
+    bounded by the calendar, not SF, so the native grouped fold is
+    safe); the outer join runs distributed via Ray's hash-shuffle
+    join and missing sides are coalesced to 0 vectorized."""
+    import ray.data as rd
+
+    ords = ops.read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+    ev = ops.read(sf_dir, "events", columns=["ts"])
+
+    def o_partial(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["o_orderdate"].dt.strftime("%Y-%m-%d")
+        cents = np.round(b["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        f = pd.DataFrame({"d": d, "order_cents": cents}).groupby(
+            "d", as_index=False, sort=False
+        )
+        return f.agg(order_cents=("order_cents", "sum"), order_cnt=("order_cents", "size"))
+
+    def e_partial(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["ts"].dt.strftime("%Y-%m-%d")
+        return pd.DataFrame({"d": d}).groupby("d", as_index=False, sort=False).agg(
+            event_cnt=("d", "size")
+        )
+
+    # calendar-bounded folds (one row per day per block after partials)
+    o_day = rd.from_pandas(
+        ops.preagg_sum_count_df(
+            ords.map_batches(o_partial, batch_format="pandas", batch_size=65536),
+            ["d"],
+            ["order_cents", "order_cnt"],
+            count_alias="__nb",
+        )[["d", "order_cents", "order_cnt"]]
+    ).map_batches(lambda t: t, batch_format="pyarrow")
+    e_day = rd.from_pandas(
+        ops.preagg_sum_count_df(
+            ev.map_batches(e_partial, batch_format="pandas", batch_size=65536),
+            ["d"],
+            ["event_cnt"],
+            count_alias="__nb",
+        )[["d", "event_cnt"]]
+    ).map_batches(lambda t: t, batch_format="pyarrow")
+
+    j = ops.hash_join(
+        ops.drop_empty_blocks(o_day),
+        ops.drop_empty_blocks(e_day),
+        on="d",
+        how="full_outer",
+    ).to_pandas()  # calendar-bounded result
+    out = pd.DataFrame(
+        {
+            "d": j["d"],
+            "order_cnt": j["order_cnt"].fillna(0).astype("int64"),
+            "order_cents": j["order_cents"].fillna(0).astype("int64"),
+            "event_cnt": j["event_cnt"].fillna(0).astype("int64"),
+        }
+    )
+    return out.sort_values("d").reset_index(drop=True)
+
+
+DAILY_OUTER_SQL = """
+SELECT COALESCE(o.d, e.d) AS d,
+       COALESCE(o.order_cnt, 0) AS order_cnt,
+       COALESCE(o.order_cents, 0) AS order_cents,
+       COALESCE(e.event_cnt, 0) AS event_cnt
+FROM (SELECT strftime(o_orderdate, '%Y-%m-%d') AS d, count(*) AS order_cnt,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS order_cents
+      FROM orders GROUP BY 1) o
+FULL OUTER JOIN
+     (SELECT strftime(ts, '%Y-%m-%d') AS d, count(*) AS event_cnt
+      FROM events GROUP BY 1) e
+ON o.d = e.d
+ORDER BY d
+"""
+
+
+def doc_salient_terms(sf_dir, broadcast_limit=2_000_000):
+    """Keyword extraction: the single most salient term per document,
+    ranked by an integer-quantized tf-idf surrogate
+    ``(tf × n_docs × 1000) // df`` (monotone in tf/df; integer so the
+    engine and the SQL oracle order IDENTICALLY — no float-libm
+    ordering hazards), ties broken by term. Per-doc tf is exact within
+    one batch (a document never spans batches); df folds per-term via
+    coarse buckets (vocabulary is unbounded at corpus scale — no
+    per-key aggregate, no driver vocab); tf⋈df goes through the
+    size-guarded dim_join (broadcast for bounded vocabs, hash join at
+    scale); the per-doc argmax is a coarse-bucketed vectorized
+    head(1)."""
+    from .dedup import _adaptive_coarse, _coarse_bucket
+
+    docs = ops.read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def tf_partial(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].str.lower().str.findall(r"[a-z0-9]+")
+        e = toks.explode().dropna()
+        f = pd.DataFrame(
+            {"doc_id": b["doc_id"].reindex(e.index).to_numpy(), "term": e.to_numpy()}
+        )
+        return f.groupby(["doc_id", "term"], as_index=False, sort=False).agg(
+            tf=("term", "size")
+        )
+
+    tf = docs.map_batches(
+        tf_partial, batch_format="pandas", batch_size=4096
+    ).materialize()  # consumed by df-fold AND the join below
+    n_docs = int(docs.count())
+
+    n_b = _adaptive_coarse(tf.count(), per_group_target=200_000)
+
+    def df_fold(g: pd.DataFrame) -> pd.DataFrame:
+        f = g.groupby("term", sort=False)["doc_id"].size()
+        return pd.DataFrame(
+            {"term": f.index.to_numpy(), "df": f.to_numpy(np.int64)}
+        )
+
+    df_ds = (
+        tf.map_batches(
+            lambda b, _n=n_b: _coarse_bucket(
+                b[["term", "doc_id"]].copy(), "term", _n
+            ),
+            batch_format="pandas",
+        )
+        .groupby("__ub")
+        .map_groups(df_fold, batch_format="pandas")
+    )
+    joined = ops.dim_join(
+        tf, df_ds, on="term", broadcast_limit=broadcast_limit
+    )
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["__s"] = (
+            b["tf"].to_numpy(np.int64) * n_docs * 1000
+        ) // b["df"].to_numpy(np.int64)
+        return b
+
+    m = _adaptive_coarse(n_docs, per_group_target=100_000)
+
+    def argmax(g: pd.DataFrame) -> pd.DataFrame:
+        top = (
+            g.sort_values(["doc_id", "__s", "term"], ascending=[True, False, True])
+            .groupby("doc_id", sort=False)
+            .head(1)
+        )
+        return top[["doc_id", "term", "tf", "df"]]
+
+    out = (
+        joined.map_batches(score, batch_format="pandas")
+        .map_batches(
+            lambda b, _m=m: _coarse_bucket(b, "doc_id", _m),
+            batch_format="pandas",
+        )
+        .groupby("__ub")
+        .map_groups(argmax, batch_format="pandas")
+        .to_pandas()  # one row per doc — the query's contract output
+    )
+    out = out.astype({"doc_id": "int64", "tf": "int64", "df": "int64"})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SALIENT_SQL = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                            x -> x <> '')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+n AS (SELECT count(*) AS n FROM documents)
+SELECT doc_id, term, tf, df FROM (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         (tf.tf * n.n * 1000) // df.df AS s
+  FROM tf JOIN df USING (term) CROSS JOIN n)
+QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, term ASC) = 1
+ORDER BY doc_id
+"""
+
+
 def _user_bucketed(ev):
     """Coarse-key events by hash(user) — each user lands wholly in one
     bucket-group, so per-user windowing runs as ONE vectorized pandas
@@ -2325,6 +2639,10 @@ QUERIES = {
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "nation_year_rollup": nation_year_rollup,
     "doc_bigrams": doc_bigrams,
+    "q13_order_distribution": q13_order_distribution,
+    "acctbal_quartiles": acctbal_quartiles,
+    "orders_events_daily_outer": orders_events_daily_outer,
+    "doc_salient_terms": doc_salient_terms,
     "orders_price_band_join": orders_price_band_join,
     "order_price_quantiles": order_price_quantiles,
     "segment_distinct_customers": segment_distinct_customers,
@@ -2382,6 +2700,10 @@ ORACLES = {
     "q17_small_quantity_revenue": Q17_SQL,
     "nation_year_rollup": ROLLUP_SQL,
     "doc_bigrams": BIGRAMS_SQL,
+    "q13_order_distribution": Q13_SQL,
+    "acctbal_quartiles": NTILE_SQL,
+    "orders_events_daily_outer": DAILY_OUTER_SQL,
+    "doc_salient_terms": SALIENT_SQL,
     "orders_price_band_join": BAND_JOIN_SQL,
     "order_price_quantiles": QUANTILES_SQL,
     "segment_distinct_customers": DISTINCT_SQL,
