@@ -1439,18 +1439,26 @@ def orders_events_daily_outer(sf_dir):
     ords = ops.read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
     ev = ops.read(sf_dir, "events", columns=["ts"])
 
+    def _days(ts: pd.Series) -> np.ndarray:
+        # per-row strftime is Python-rate (~2 µs/row — 20 s at 10M
+        # events); truncate to day as int64 numpy, then format only
+        # the UNIQUE days (calendar-bounded)
+        d64 = ts.to_numpy().astype("datetime64[D]")
+        uniq, inv = np.unique(d64, return_inverse=True)
+        return np.array([str(u) for u in uniq], dtype=object)[inv]
+
     def o_partial(b: pd.DataFrame) -> pd.DataFrame:
-        d = b["o_orderdate"].dt.strftime("%Y-%m-%d")
         cents = np.round(b["o_totalprice"].to_numpy() * 100).astype(np.int64)
-        f = pd.DataFrame({"d": d, "order_cents": cents}).groupby(
-            "d", as_index=False, sort=False
-        )
+        f = pd.DataFrame(
+            {"d": _days(b["o_orderdate"]), "order_cents": cents}
+        ).groupby("d", as_index=False, sort=False)
         return f.agg(order_cents=("order_cents", "sum"), order_cnt=("order_cents", "size"))
 
     def e_partial(b: pd.DataFrame) -> pd.DataFrame:
-        d = b["ts"].dt.strftime("%Y-%m-%d")
-        return pd.DataFrame({"d": d}).groupby("d", as_index=False, sort=False).agg(
-            event_cnt=("d", "size")
+        return (
+            pd.DataFrame({"d": _days(b["ts"])})
+            .groupby("d", as_index=False, sort=False)
+            .agg(event_cnt=("d", "size"))
         )
 
     # calendar-bounded folds (one row per day per block after partials)
