@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "acctbal_quartiles",
     "orders_events_daily_outer",
     "doc_salient_terms",
+    "balanced_docs_per_source",
 ]
 
 CORPUS_ROWS = {"sf0.1": 25000, "sf0.01": 2000, "sf0.001": 400}

@@ -105,6 +105,7 @@ def test_entry_smoke(ray_session):
         "acctbal_quartiles",
         "orders_events_daily_outer",
         "doc_salient_terms",
+        "balanced_docs_per_source",
     ],
 )
 def test_oracle_match(registry, name):
@@ -295,6 +296,71 @@ def test_grouped_topk_matches_pandas(ray_session):
     pd.testing.assert_frame_equal(
         got, exp[["g", "v", "id", "rk"]], check_dtype=False
     )
+
+
+def test_bloom_bitmap_contract():
+    """The join Bloom prefilter's kernel contract: NO false negatives
+    (a dropped matching fact row would corrupt the join), FP rate near
+    the 12-bits/key design point (~0.3%), and string keys hash
+    consistently."""
+    import numpy as np
+
+    from tilers_tools_ray.relational import ops
+
+    keys = np.arange(0, 200_000, 2).astype("int64")  # evens are members
+    pow_ = ops._bloom_pow(len(keys))
+    bm = np.zeros(1 << (pow_ - 6), dtype=np.uint64)
+    ops._bloom_set(bm, ops._bloom_indices(keys, pow_))
+    probe = np.arange(200_000).astype("int64")
+    hit = ops._bloom_test(bm, ops._bloom_indices(probe, pow_))
+    assert hit[::2].all(), "false negative — join correctness violated"
+    assert hit[1::2].mean() < 0.01, f"FP rate {hit[1::2].mean():.4f}"
+
+    words = np.array([f"k{i}" for i in range(0, 1000, 2)], dtype=object)
+    pw = ops._bloom_pow(len(words))
+    bs = np.zeros(1 << (pw - 6), dtype=np.uint64)
+    ops._bloom_set(bs, ops._bloom_indices(words, pw))
+    assert ops._bloom_test(bs, ops._bloom_indices(words, pw)).all()
+
+
+def test_anti_join_bloom_split_identity(ray_session):
+    """anti_join with the Bloom split (non-hits bypass the shuffle)
+    must return exactly the rows of the plain shuffled path, including
+    the all-match and empty-right edges."""
+    import numpy as np
+    import ray.data as rd
+
+    from tilers_tools_ray.relational import ops
+
+    rng = np.random.default_rng(3)
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, 1000, 8000).astype("int64"),
+            "v": np.arange(8000, dtype="int64"),
+        }
+    )
+    for right_keys in (
+        np.arange(0, 500, 2, dtype="int64"),  # half the key space
+        np.arange(0, 1000, dtype="int64"),  # everything matches
+        np.array([], dtype="int64"),  # nothing matches
+    ):
+        lds = rd.from_pandas(left).repartition(7)
+        rds = rd.from_pandas(pd.DataFrame({"k": right_keys}))
+        got = _to_pandas(ops.anti_join(lds, rds, on="k", bloom=True))
+        if got.empty:  # an all-empty Dataset has no schema (same on
+            # the non-bloom path) — normalize for the frame compare
+            got = pd.DataFrame(
+                {c: pd.Series(dtype="int64") for c in ("k", "v")}
+            )
+        got = got.sort_values("v").reset_index(drop=True)
+        exp = (
+            left[~left["k"].isin(right_keys)]
+            .sort_values("v")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            got[["k", "v"]], exp, check_dtype=False
+        )
 
 
 def test_with_row_rank_is_global_row_number(ray_session):

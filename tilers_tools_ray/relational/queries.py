@@ -1615,6 +1615,53 @@ ORDER BY doc_id
 """
 
 
+def balanced_docs_per_source(sf_dir, k=10):
+    """Per-domain cap — the training-data balancing op: keep at most
+    ``k`` documents per source, picked by the deterministic
+    multiplicative-hash order (topology-independent pseudo-random —
+    the same Fibonacci-hash trick as sample_documents_hash, so the
+    pick is reproducible on any block layout AND SQL-expressible for
+    a bit-exact oracle; the hash is a bijection of doc_id, so no
+    ties). Runs as ops.grouped_topk: per-batch combiner caps each
+    batch to k rows per source before the shuffle, the grouped merge
+    is coarse-bucketed — source cardinality can be web-scale."""
+    docs = ops.read(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def key(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["sk"] = b["doc_id"].to_numpy(np.uint64) * np.uint64(_SAMPLE_MULT)
+        return b
+
+    top = ops.grouped_topk(
+        docs.map_batches(key, batch_format="pandas"),
+        "source",
+        "sk",
+        k,
+        descending=False,
+        tie_col="doc_id",
+    )
+    out = (
+        top.select_columns(["source", "doc_id", "rk"])
+        .to_pandas()  # bounded: k × n_sources rows
+        .sort_values(["source", "doc_id"])
+    )
+    return out.astype({"doc_id": "int64", "rk": "int64"}).reset_index(
+        drop=True
+    )
+
+
+BALANCED_SQL = f"""
+SELECT source, doc_id, rk FROM (
+  SELECT source, doc_id,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY (doc_id::HUGEINT * {_SAMPLE_MULT})
+                    % 18446744073709551616, doc_id) AS rk
+  FROM documents)
+WHERE rk <= 10 ORDER BY source, doc_id
+"""
+
+
 def _user_bucketed(ev):
     """Coarse-key events by hash(user) — each user lands wholly in one
     bucket-group, so per-user windowing runs as ONE vectorized pandas
@@ -2651,6 +2698,7 @@ QUERIES = {
     "acctbal_quartiles": acctbal_quartiles,
     "orders_events_daily_outer": orders_events_daily_outer,
     "doc_salient_terms": doc_salient_terms,
+    "balanced_docs_per_source": balanced_docs_per_source,
     "orders_price_band_join": orders_price_band_join,
     "order_price_quantiles": order_price_quantiles,
     "segment_distinct_customers": segment_distinct_customers,
@@ -2712,6 +2760,7 @@ ORACLES = {
     "acctbal_quartiles": NTILE_SQL,
     "orders_events_daily_outer": DAILY_OUTER_SQL,
     "doc_salient_terms": SALIENT_SQL,
+    "balanced_docs_per_source": BALANCED_SQL,
     "orders_price_band_join": BAND_JOIN_SQL,
     "order_price_quantiles": QUANTILES_SQL,
     "segment_distinct_customers": DISTINCT_SQL,
