@@ -75,6 +75,11 @@ BENCH_QUERIES = [
     "orders_events_daily_outer",
     "doc_salient_terms",
     "balanced_docs_per_source",
+    "q6_revenue_forecast",
+    "q4_order_priority",
+    "q12_priority_by_returnflag",
+    "q14_promo_revenue",
+    "q22_idle_rich_customers",
 ]
 
 CORPUS_ROWS = {"sf0.1": 25000, "sf0.01": 2000, "sf0.001": 400}

@@ -106,6 +106,11 @@ def test_entry_smoke(ray_session):
         "orders_events_daily_outer",
         "doc_salient_terms",
         "balanced_docs_per_source",
+        "q6_revenue_forecast",
+        "q4_order_priority",
+        "q12_priority_by_returnflag",
+        "q14_promo_revenue",
+        "q22_idle_rich_customers",
     ],
 )
 def test_oracle_match(registry, name):

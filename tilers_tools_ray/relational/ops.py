@@ -250,6 +250,15 @@ def preagg_sum_count_df(ds, keys, sum_cols, count_alias="n"):
     partials = ds.map_batches(
         partial, batch_format="pandas", batch_size=65536
     ).to_pandas()
+    if partials.empty:  # an all-empty Dataset yields a SCHEMA-LESS
+        # frame (no columns at all) — rebuild the typed empty result
+        return pd.DataFrame(
+            {
+                **{k: pd.Series(dtype=object) for k in keys},
+                **{c: pd.Series(dtype="float64") for c in sum_cols},
+                count_alias: pd.Series(dtype="int64"),
+            }
+        )
     return partials.groupby(list(keys), as_index=False, sort=False).agg(
         **{c: (c, "sum") for c in sum_cols},
         **{count_alias: (count_alias, "sum")},

@@ -1662,6 +1662,289 @@ WHERE rk <= 10 ORDER BY source, doc_id
 """
 
 
+def q6_revenue_forecast(sf_dir):
+    """TPC-H Q6 shape — the pure filter + global-sum query: pruned
+    4-column read, vectorized per-batch mask, one int64 partial per
+    batch, O(blocks) driver fold. No shuffle at all; at 100 TB this is
+    bandwidth-bound on the column scan, which is the optimum. Money in
+    exact x10000 fixed-point on both sides (price and discount are
+    2-decimal, so price·discount·10⁴ is an exact integer < 2⁵³)."""
+    ds = ops.read(
+        sf_dir,
+        "lineitem",
+        columns=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        m = (
+            (b["l_shipdate"] >= pd.Timestamp("1996-01-01"))
+            & (b["l_shipdate"] < pd.Timestamp("1997-01-01"))
+            & (b["l_discount"] >= 0.05)
+            & (b["l_discount"] <= 0.07)
+            & (b["l_quantity"] < 24)
+        )
+        v = b.loc[m]
+        rev = (
+            np.round(
+                v["l_extendedprice"].to_numpy()
+                * v["l_discount"].to_numpy()
+                * 10000
+            )
+            .astype("int64")
+            .sum()
+        )
+        return pd.DataFrame({"revenue_x10000": [rev]})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    return pd.DataFrame(
+        {"revenue_x10000": [np.int64(parts["revenue_x10000"].sum())]}
+    )
+
+
+Q6_SQL = """
+SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 10000) AS BIGINT))
+            AS BIGINT) AS revenue_x10000
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+def q4_order_priority(sf_dir):
+    """TPC-H Q4 shape — EXISTS as a semi-join: orders filtered to one
+    year, semi-joined against the distinct set of lineitem orderkeys
+    with a big-quantity line. The key side is FACT-sized (lineitem),
+    so this is the query that exercises ``ops.semi_join``'s scale
+    path: above ``broadcast_limit`` the key set is Bloom-prefiltered
+    + distributed-distinct + hash-joined; below it a broadcast
+    searchsorted filter. Counts then pre-aggregate per batch (5
+    priority groups)."""
+    orders = ops.read(
+        sf_dir, "orders", columns=["o_orderkey", "o_orderdate", "o_orderpriority"]
+    ).map_batches(
+        lambda b: b.loc[
+            (b["o_orderdate"] >= pd.Timestamp("1996-01-01"))
+            & (b["o_orderdate"] < pd.Timestamp("1997-01-01")),
+            ["o_orderkey", "o_orderpriority"],
+        ],
+        batch_format="pandas",
+    )
+    keys = ops.read(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"]
+    ).map_batches(
+        lambda b: b.loc[b["l_quantity"] > 45, ["l_orderkey"]],
+        batch_format="pandas",
+    )
+    sj = ops.semi_join(orders, keys, on="o_orderkey", right_on="l_orderkey")
+    df = ops.preagg_sum_count_df(
+        sj, ["o_orderpriority"], [], count_alias="order_count"
+    )
+    out = df.astype({"order_count": "int64"})
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+Q4_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q12_priority_by_returnflag(sf_dir):
+    """TPC-H Q12 shape — the fact×fact join: one-year lineitem slice
+    hash-joined to orders on the order key (both sides shuffle once —
+    no broadcast is possible, both scale with SF), then conditional
+    counts collapse per batch to ≤3 rows before the driver fold. The
+    join is the one all-to-all; everything around it is a projection
+    or a partial."""
+    li = ops.read(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_returnflag", "l_shipdate"]
+    ).map_batches(
+        lambda b: b.loc[
+            (b["l_shipdate"] >= pd.Timestamp("1996-01-01"))
+            & (b["l_shipdate"] < pd.Timestamp("1997-01-01")),
+            ["l_orderkey", "l_returnflag"],
+        ],
+        batch_format="pandas",
+    )
+    orders = ops.read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    j = ops.hash_join(li, orders, on="l_orderkey", right_on="o_orderkey")
+
+    def enrich(b: pd.DataFrame) -> pd.DataFrame:
+        hi = b["o_orderpriority"].isin(["1-URGENT", "2-HIGH"])
+        return pd.DataFrame(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "high_count": hi.astype("int64"),
+                "low_count": (~hi).astype("int64"),
+            }
+        )
+
+    df = ops.preagg_sum_count_df(
+        j.map_batches(enrich, batch_format="pandas"),
+        ["l_returnflag"],
+        ["high_count", "low_count"],
+        count_alias="__n",
+    ).drop(columns="__n")
+    out = df.astype({"high_count": "int64", "low_count": "int64"})
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+Q12_SQL = """
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q14_promo_revenue(sf_dir):
+    """TPC-H Q14 shape — promo revenue share through the size-guarded
+    ``ops.dim_join`` (part scales with SF: broadcast under the limit,
+    Bloom-prefiltered hash join above it). Output is the exact
+    numerator/denominator pair in x10000 fixed-point rather than the
+    ratio, so the oracle hash is dtype- and rounding-stable; the share
+    is a trivial driver division for display."""
+    li = ops.read(
+        sf_dir,
+        "lineitem",
+        columns=["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    ).map_batches(
+        lambda b: b.loc[
+            (b["l_shipdate"] >= pd.Timestamp("1997-01-01"))
+            & (b["l_shipdate"] < pd.Timestamp("1998-01-01")),
+            ["l_partkey", "l_extendedprice", "l_discount"],
+        ],
+        batch_format="pandas",
+    )
+    part = ops.read(sf_dir, "part", columns=["p_partkey", "p_type"])
+    j = ops.dim_join(li, part, on="l_partkey", right_on="p_partkey")
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        rev = (
+            np.round(
+                b["l_extendedprice"].to_numpy()
+                * (1 - b["l_discount"].to_numpy())
+                * 10000
+            ).astype("int64")
+        )
+        promo = b["p_type"].to_numpy() == "PROMO"
+        return pd.DataFrame(
+            {
+                "promo_revenue_x10000": [rev[promo].sum()],
+                "total_revenue_x10000": [rev.sum()],
+            }
+        )
+
+    parts = j.map_batches(partial, batch_format="pandas").to_pandas()
+    return pd.DataFrame(
+        {
+            "promo_revenue_x10000": [np.int64(parts["promo_revenue_x10000"].sum())],
+            "total_revenue_x10000": [np.int64(parts["total_revenue_x10000"].sum())],
+        }
+    )
+
+
+Q14_SQL = """
+SELECT CAST(sum(CASE WHEN p_type = 'PROMO'
+                     THEN CAST(round(l_extendedprice * (1 - l_discount)
+                                     * 10000) AS BIGINT)
+                     ELSE 0 END) AS BIGINT) AS promo_revenue_x10000,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                     AS BIGINT)) AS BIGINT) AS total_revenue_x10000
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+"""
+
+
+def q22_idle_rich_customers(sf_dir):
+    """TPC-H Q22 shape — customers above the global average balance
+    with no RECENT order (the synthetic corpus gives every customer at
+    least one lifetime order, so the lapsed-since-2000 variant keeps
+    the result non-degenerate), per market segment. The average-balance
+    threshold is computed in EXACT integer arithmetic (sum of cents ×
+    count compare: ``cents·n > sum_cents`` ⇔ ``acctbal > avg``), so no
+    float-boundary row can diverge from the oracle. The no-order test
+    is the Bloom-split ``ops.anti_join`` against the recent orders key
+    set — guaranteed-unmatched customers bypass the join shuffle
+    entirely."""
+    cust = ops.read(
+        sf_dir, "customer", columns=["c_custkey", "c_acctbal", "c_mktsegment"]
+    )
+
+    def bal_partial(b: pd.DataFrame) -> pd.DataFrame:
+        pos = b.loc[b["c_acctbal"] > 0.0, "c_acctbal"]
+        cents = np.round(pos.to_numpy() * 100).astype("int64")
+        return pd.DataFrame({"sc": [cents.sum()], "n": [np.int64(len(cents))]})
+
+    parts = cust.map_batches(bal_partial, batch_format="pandas").to_pandas()
+    sc, n = np.int64(parts["sc"].sum()), np.int64(parts["n"].sum())
+
+    rich = cust.map_batches(
+        lambda b: b.loc[
+            np.round(b["c_acctbal"].to_numpy() * 100).astype("int64") * n > sc
+        ],
+        batch_format="pandas",
+    )
+    okeys = ops.read(
+        sf_dir, "orders", columns=["o_custkey", "o_orderdate"]
+    ).map_batches(
+        lambda b: b.loc[
+            b["o_orderdate"] >= pd.Timestamp("2000-01-01"), ["o_custkey"]
+        ],
+        batch_format="pandas",
+    )
+    idle = ops.anti_join(rich, okeys, on="c_custkey", right_on="o_custkey")
+
+    def seg_partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["totacctbal_cents"] = np.round(
+            b["c_acctbal"].to_numpy() * 100
+        ).astype("int64")
+        return b[["c_mktsegment", "totacctbal_cents"]]
+
+    df = ops.preagg_sum_count_df(
+        idle.map_batches(seg_partial, batch_format="pandas"),
+        ["c_mktsegment"],
+        ["totacctbal_cents"],
+        count_alias="numcust",
+    )
+    out = df.astype({"numcust": "int64", "totacctbal_cents": "int64"})
+    return (
+        out[["c_mktsegment", "numcust", "totacctbal_cents"]]
+        .sort_values("c_mktsegment")
+        .reset_index(drop=True)
+    )
+
+
+Q22_SQL = """
+WITH s AS (SELECT sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS sc,
+                  count(*) AS n
+           FROM customer WHERE c_acctbal > 0.0)
+SELECT c_mktsegment, count(*) AS numcust,
+       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+           AS totacctbal_cents
+FROM customer, s
+WHERE CAST(round(c_acctbal * 100) AS BIGINT) * s.n > s.sc
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def _user_bucketed(ev):
     """Coarse-key events by hash(user) — each user lands wholly in one
     bucket-group, so per-user windowing runs as ONE vectorized pandas
@@ -2699,6 +2982,11 @@ QUERIES = {
     "orders_events_daily_outer": orders_events_daily_outer,
     "doc_salient_terms": doc_salient_terms,
     "balanced_docs_per_source": balanced_docs_per_source,
+    "q6_revenue_forecast": q6_revenue_forecast,
+    "q4_order_priority": q4_order_priority,
+    "q12_priority_by_returnflag": q12_priority_by_returnflag,
+    "q14_promo_revenue": q14_promo_revenue,
+    "q22_idle_rich_customers": q22_idle_rich_customers,
     "orders_price_band_join": orders_price_band_join,
     "order_price_quantiles": order_price_quantiles,
     "segment_distinct_customers": segment_distinct_customers,
@@ -2761,6 +3049,11 @@ ORACLES = {
     "orders_events_daily_outer": DAILY_OUTER_SQL,
     "doc_salient_terms": SALIENT_SQL,
     "balanced_docs_per_source": BALANCED_SQL,
+    "q6_revenue_forecast": Q6_SQL,
+    "q4_order_priority": Q4_SQL,
+    "q12_priority_by_returnflag": Q12_SQL,
+    "q14_promo_revenue": Q14_SQL,
+    "q22_idle_rich_customers": Q22_SQL,
     "orders_price_band_join": BAND_JOIN_SQL,
     "order_price_quantiles": QUANTILES_SQL,
     "segment_distinct_customers": DISTINCT_SQL,
