@@ -111,6 +111,9 @@ def test_entry_smoke(ray_session):
         "q12_priority_by_returnflag",
         "q14_promo_revenue",
         "q22_idle_rich_customers",
+        "q7_nation_trade_volume",
+        "q8_market_share",
+        "q9_product_profit",
     ],
 )
 def test_oracle_match(registry, name):

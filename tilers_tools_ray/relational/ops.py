@@ -1045,6 +1045,24 @@ def bloom_prefilter(left_ds, bitmap, pow_, on, batch_size=131072):
     return left_ds.map_batches(pref, batch_format="pandas", batch_size=batch_size)
 
 
+def _empty_frame_like(schema):
+    """Typed zero-row DataFrame from a Ray Dataset schema. Block-type
+    agnostic: arrow-derived schemas carry pyarrow DataTypes, pandas-
+    derived ones numpy dtypes / the ``object`` class — both map to a
+    pandas dtype the downstream merge can key on."""
+    cols = {}
+    for name, t in zip(schema.names, schema.types):
+        if isinstance(t, pa.DataType):
+            try:
+                dt = t.to_pandas_dtype()
+            except NotImplementedError:
+                dt = object
+        else:
+            dt = t if t is not None else object
+        cols[name] = pd.Series(dtype=dt)
+    return pd.DataFrame(cols)
+
+
 def dim_join(
     left_ds,
     right_ds,
@@ -1083,6 +1101,12 @@ def dim_join(
     n_right = right_ds.count()
     if n_right <= broadcast_limit:
         rdf = right_ds.to_pandas()  # bounded by broadcast_limit
+        if rdf.shape[1] == 0:
+            # an all-empty Dataset collects SCHEMA-LESS — rebuild the
+            # typed empty frame from block metadata so the per-batch
+            # merge still sees the key column (empty inner join, not
+            # KeyError; a fully-filtered dim slice is a legal input)
+            rdf = _empty_frame_like(right_ds.schema())
         if r_on != on:
             rdf = rdf.rename(columns={r_on: on})
         return broadcast_join(left_ds, rdf, on=on, how=how)
@@ -1184,6 +1208,8 @@ def semi_join(
         return _semi_broadcast(left_ds, arr, on)
     keys_ds = right_keys_ds.select_columns([r_on]).materialize()
     n = keys_ds.count()  # upper bound (pre-dedup) — a safe guard
+    if n == 0:
+        return left_ds.limit(0)  # empty key set ⇒ empty semi join
     if n <= broadcast_limit:
         return _semi_broadcast(
             left_ds, keys_ds.to_pandas()[r_on].to_numpy(), on

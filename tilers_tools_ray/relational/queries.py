@@ -1945,6 +1945,322 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def _supplier_nations(sf_dir):
+    """supplier ⋈ nation as a Dataset of (s_suppkey, supp_nation).
+    ``nation`` is a bounded dim (25 rows) → plain broadcast merge into
+    the supplier scan; supplier itself scales with SF so the result
+    stays a Dataset for a downstream size-guarded ``ops.dim_join``."""
+    nation = ops.read_pandas(
+        sf_dir, "nation", columns=["n_nationkey", "n_name"]
+    ).rename(columns={"n_nationkey": "s_nationkey", "n_name": "supp_nation"})
+    supp = ops.read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    return ops.broadcast_join(supp, nation, on="s_nationkey").select_columns(
+        ["s_suppkey", "supp_nation"]
+    )
+
+
+def q7_nation_trade_volume(sf_dir, broadcast_limit=5_000_000):
+    """TPC-H Q7 shape — bidirectional trade volume between two nations
+    by ship year. Join order is selectivity-first: supplier is
+    restricted to the two nations BEFORE touching lineitem, so the
+    ``dim_join`` (inner) drops ~92% of lineitem rows ahead of the only
+    fact×fact exchange (lineitem ⋈ orders); the customer hop is again
+    an inner ``dim_join`` against the two-nation slice. Both
+    SF-proportional dims route through the size guard."""
+    pair = ["NATION_3", "NATION_8"]
+    supp = _supplier_nations(sf_dir).map_batches(
+        lambda b, _p=pair: b.loc[b["supp_nation"].isin(_p)],
+        batch_format="pandas",
+    )
+    nation = ops.read_pandas(
+        sf_dir, "nation", columns=["n_nationkey", "n_name"]
+    ).rename(columns={"n_nationkey": "c_nationkey", "n_name": "cust_nation"})
+    cust = ops.broadcast_join(
+        ops.read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]),
+        nation,
+        on="c_nationkey",
+    ).map_batches(
+        lambda b, _p=pair: b.loc[
+            b["cust_nation"].isin(_p), ["c_custkey", "cust_nation"]
+        ],
+        batch_format="pandas",
+    )
+
+    def li_prep(b: pd.DataFrame) -> pd.DataFrame:
+        m = (b["l_shipdate"] >= pd.Timestamp("1996-01-01")) & (
+            b["l_shipdate"] < pd.Timestamp("1998-01-01")
+        )
+        v = b.loc[m]
+        return pd.DataFrame(
+            {
+                "l_orderkey": v["l_orderkey"],
+                "l_suppkey": v["l_suppkey"],
+                "l_year": v["l_shipdate"].dt.year.astype("int64"),
+                "revenue": v["l_extendedprice"] * (1 - v["l_discount"]),
+            }
+        )
+
+    li = ops.read(
+        sf_dir,
+        "lineitem",
+        columns=[
+            "l_orderkey",
+            "l_suppkey",
+            "l_shipdate",
+            "l_extendedprice",
+            "l_discount",
+        ],
+    ).map_batches(li_prep, batch_format="pandas")
+    li = ops.dim_join(
+        li, supp, on="l_suppkey", right_on="s_suppkey",
+        broadcast_limit=broadcast_limit,
+    )
+    j = ops.hash_join(
+        li,
+        ops.read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]),
+        on="l_orderkey",
+        right_on="o_orderkey",
+        num_partitions=16,
+    )
+    j = ops.dim_join(
+        j, cust, on="o_custkey", right_on="c_custkey",
+        broadcast_limit=broadcast_limit,
+    )
+    df = ops.preagg_sum_count_df(
+        j.map_batches(
+            lambda b: b.loc[b["supp_nation"] != b["cust_nation"]],
+            batch_format="pandas",
+        ),
+        ["supp_nation", "cust_nation", "l_year"],
+        ["revenue"],
+        count_alias="__n",
+    )
+    out = pd.DataFrame(
+        {
+            "supp_nation": df["supp_nation"],
+            "cust_nation": df["cust_nation"],
+            "l_year": df["l_year"].astype("int64"),
+            "revenue": df["revenue"].round(2),
+        }
+    )
+    return out.sort_values(
+        ["supp_nation", "cust_nation", "l_year"]
+    ).reset_index(drop=True)
+
+
+Q7_SQL = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+    OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3'))
+  AND l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
+def q8_market_share(sf_dir, broadcast_limit=5_000_000):
+    """TPC-H Q8 shape — NATION_3's share of STANDARD-part revenue sold
+    to EUROPE customers, by order year. The ratio's numerator rides
+    the same partial rows as the denominator (per-batch flagged sums —
+    one pass, no second scan); region-restricted customers reach
+    orders as a size-guarded ``ops.semi_join`` (key Dataset, never a
+    driver collect); the part filter lands BEFORE the fact join via an
+    inner ``dim_join`` on the filtered part slice."""
+    nation = ops.read_pandas(sf_dir, "nation")
+    region = ops.read_pandas(sf_dir, "region")
+    eu_keys = nation.merge(
+        region[region["r_name"] == "EUROPE"],
+        left_on="n_regionkey",
+        right_on="r_regionkey",
+    )["n_nationkey"].to_numpy()
+    cust_keys = ops.read(
+        sf_dir, "customer", columns=["c_custkey", "c_nationkey"]
+    ).map_batches(
+        lambda b, _k=eu_keys: b.loc[
+            b["c_nationkey"].isin(_k), ["c_custkey"]
+        ],
+        batch_format="pandas",
+    )
+
+    def o_prep(b: pd.DataFrame) -> pd.DataFrame:
+        m = (b["o_orderdate"] >= pd.Timestamp("1996-01-01")) & (
+            b["o_orderdate"] < pd.Timestamp("1998-01-01")
+        )
+        v = b.loc[m]
+        return pd.DataFrame(
+            {
+                "o_orderkey": v["o_orderkey"],
+                "o_custkey": v["o_custkey"],
+                "o_year": v["o_orderdate"].dt.year.astype("int64"),
+            }
+        )
+
+    orders = ops.read(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(o_prep, batch_format="pandas")
+    orders = ops.semi_join(
+        orders, cust_keys, on="o_custkey", right_on="c_custkey",
+        broadcast_limit=broadcast_limit,
+    )
+
+    std_parts = ops.read(
+        sf_dir, "part", columns=["p_partkey", "p_type"]
+    ).map_batches(
+        lambda b: b.loc[b["p_type"] == "STANDARD", ["p_partkey"]],
+        batch_format="pandas",
+    )
+    li = ops.read(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_partkey", "l_suppkey",
+                 "l_extendedprice", "l_discount"],
+    )
+    li = ops.dim_join(
+        li, std_parts, on="l_partkey", right_on="p_partkey",
+        broadcast_limit=broadcast_limit,
+    )
+    li = ops.dim_join(
+        li, _supplier_nations(sf_dir), on="l_suppkey", right_on="s_suppkey",
+        broadcast_limit=broadcast_limit,
+    )
+
+    def rev_prep(b: pd.DataFrame) -> pd.DataFrame:
+        rev = b["l_extendedprice"] * (1 - b["l_discount"])
+        return pd.DataFrame(
+            {
+                "l_orderkey": b["l_orderkey"],
+                "rev": rev,
+                "num": rev * (b["supp_nation"] == "NATION_3").to_numpy(),
+            }
+        )
+
+    li = li.map_batches(rev_prep, batch_format="pandas")
+    j = ops.hash_join(
+        li, orders.select_columns(["o_orderkey", "o_year"]),
+        on="l_orderkey", right_on="o_orderkey", num_partitions=16,
+    )
+    df = ops.preagg_sum_count_df(j, ["o_year"], ["rev", "num"], "__n")
+    out = pd.DataFrame(
+        {
+            "o_year": df["o_year"].astype("int64"),
+            "mkt_share": (df["num"] / df["rev"]).round(6),
+        }
+    )
+    return out.sort_values("o_year").reset_index(drop=True)
+
+
+Q8_SQL = """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       round(sum(CASE WHEN n1.n_name = 'NATION_3'
+                      THEN l_extendedprice * (1 - l_discount)
+                      ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+FROM lineitem
+  JOIN part     ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  JOIN region    ON n2.n_regionkey = r_regionkey
+WHERE r_name = 'EUROPE' AND p_type = 'STANDARD'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q9_product_profit(sf_dir, broadcast_limit=5_000_000):
+    """TPC-H Q9 shape (no ``partsupp`` in this corpus — supply cost is
+    proxied as ``0.9 × p_retailprice``): profit on parts whose name
+    contains 'red', by supplier nation and ship year. No orders join —
+    the year comes off l_shipdate, so the whole query is two
+    size-guarded inner ``dim_join`` hops (filtered part slice, then
+    supplier⋈nation) and a tiny grouped sum: zero fact×fact
+    exchanges. Profit is summed in exact x10000 fixed-point (both
+    terms are ≤4-decimal) so group order can't wiggle the hash."""
+    red = ops.read(
+        sf_dir, "part", columns=["p_partkey", "p_name", "p_retailprice"]
+    ).map_batches(
+        lambda b: b.loc[
+            b["p_name"].str.contains("red"), ["p_partkey", "p_retailprice"]
+        ],
+        batch_format="pandas",
+    )
+    li = ops.read(
+        sf_dir,
+        "lineitem",
+        columns=["l_partkey", "l_suppkey", "l_shipdate",
+                 "l_quantity", "l_extendedprice", "l_discount"],
+    )
+    li = ops.dim_join(
+        li, red, on="l_partkey", right_on="p_partkey",
+        broadcast_limit=broadcast_limit,
+    )
+    li = ops.dim_join(
+        li, _supplier_nations(sf_dir), on="l_suppkey", right_on="s_suppkey",
+        broadcast_limit=broadcast_limit,
+    )
+
+    def profit_prep(b: pd.DataFrame) -> pd.DataFrame:
+        profit = np.round(
+            b["l_extendedprice"].to_numpy()
+            * (1 - b["l_discount"].to_numpy())
+            * 10000
+        ).astype("int64") - np.round(
+            0.9
+            * b["p_retailprice"].to_numpy()
+            * b["l_quantity"].to_numpy()
+            * 10000
+        ).astype("int64")
+        return pd.DataFrame(
+            {
+                "supp_nation": b["supp_nation"],
+                "l_year": b["l_shipdate"].dt.year.astype("int64"),
+                "profit_x10000": profit,
+            }
+        )
+
+    df = ops.preagg_sum_count_df(
+        li.map_batches(profit_prep, batch_format="pandas"),
+        ["supp_nation", "l_year"],
+        ["profit_x10000"],
+        count_alias="__n",
+    )
+    out = pd.DataFrame(
+        {
+            "supp_nation": df["supp_nation"],
+            "l_year": df["l_year"].astype("int64"),
+            "profit_x10000": df["profit_x10000"].astype("int64"),
+        }
+    )
+    return out.sort_values(["supp_nation", "l_year"]).reset_index(drop=True)
+
+
+Q9_SQL = """
+SELECT n_name AS supp_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                     AS BIGINT)
+              - CAST(round(0.9 * p_retailprice * l_quantity * 10000)
+                     AS BIGINT)) AS BIGINT) AS profit_x10000
+FROM lineitem
+  JOIN part     ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%red%'
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def _user_bucketed(ev):
     """Coarse-key events by hash(user) — each user lands wholly in one
     bucket-group, so per-user windowing runs as ONE vectorized pandas
@@ -2987,6 +3303,9 @@ QUERIES = {
     "q12_priority_by_returnflag": q12_priority_by_returnflag,
     "q14_promo_revenue": q14_promo_revenue,
     "q22_idle_rich_customers": q22_idle_rich_customers,
+    "q7_nation_trade_volume": q7_nation_trade_volume,
+    "q8_market_share": q8_market_share,
+    "q9_product_profit": q9_product_profit,
     "orders_price_band_join": orders_price_band_join,
     "order_price_quantiles": order_price_quantiles,
     "segment_distinct_customers": segment_distinct_customers,
@@ -3054,6 +3373,9 @@ ORACLES = {
     "q12_priority_by_returnflag": Q12_SQL,
     "q14_promo_revenue": Q14_SQL,
     "q22_idle_rich_customers": Q22_SQL,
+    "q7_nation_trade_volume": Q7_SQL,
+    "q8_market_share": Q8_SQL,
+    "q9_product_profit": Q9_SQL,
     "orders_price_band_join": BAND_JOIN_SQL,
     "order_price_quantiles": QUANTILES_SQL,
     "segment_distinct_customers": DISTINCT_SQL,
