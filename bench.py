@@ -80,6 +80,12 @@ BENCH_QUERIES = [
     "q12_priority_by_returnflag",
     "q14_promo_revenue",
     "q22_idle_rich_customers",
+    "q7_nation_trade_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q15_top_supplier",
+    "q16_brand_size_suppliers",
 ]
 
 CORPUS_ROWS = {"sf0.1": 25000, "sf0.01": 2000, "sf0.001": 400}

@@ -114,6 +114,9 @@ def test_entry_smoke(ray_session):
         "q7_nation_trade_volume",
         "q8_market_share",
         "q9_product_profit",
+        "q11_important_parts",
+        "q15_top_supplier",
+        "q16_brand_size_suppliers",
     ],
 )
 def test_oracle_match(registry, name):
@@ -563,6 +566,7 @@ def test_inactive_anti_join_fallback(registry):
         "q17_small_quantity_revenue",
         "nation_year_rollup",
         "doc_salient_terms",
+        "q16_brand_size_suppliers",
     ],
 )
 def test_dim_join_fallback(registry, name):
@@ -593,3 +597,65 @@ def test_cli_query_runner(ray_session, tmp_path, capsys):
     cli.main(["query", "q1_pricing_summary", "--sf-dir", SF, "--out", out])
     t = pq.read_table(out)
     assert t.num_rows == 6 and "sum_qty" in t.schema.names
+
+
+def test_grouped_sum_cb_matches_pandas(ray_session):
+    """grouped_sum_cb (coarse-bucketed grouped sum for SF-proportional
+    keys) ≡ a plain pandas groupby-sum, including multi-key grouping
+    and the optional count alias."""
+    import numpy as np
+    import ray.data as rd
+
+    from tilers_tools_ray.relational import ops
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame(
+        {
+            "k1": rng.integers(0, 50, 5000),
+            "k2": rng.choice(["a", "b", "c"], 5000),
+            "v": rng.integers(-100, 100, 5000).astype("int64"),
+        }
+    )
+    ds = rd.from_pandas(df).repartition(8)
+    got = (
+        ops.grouped_sum_cb(ds, ["k1", "k2"], ["v"], count_alias="n")
+        .to_pandas()
+        .sort_values(["k1", "k2"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        df.groupby(["k1", "k2"], as_index=False)
+        .agg(v=("v", "sum"), n=("v", "size"))
+        .sort_values(["k1", "k2"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_distinct_cb_matches_pandas(ray_session):
+    """distinct_cb ≡ drop_duplicates over the same column combo."""
+    import numpy as np
+    import ray.data as rd
+
+    from tilers_tools_ray.relational import ops
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame(
+        {
+            "a": rng.integers(0, 20, 4000),
+            "b": rng.choice(["x", "y"], 4000),
+        }
+    )
+    ds = rd.from_pandas(df).repartition(6)
+    got = (
+        ops.distinct_cb(ds, ["a", "b"])
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        df.drop_duplicates()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)

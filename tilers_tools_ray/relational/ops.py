@@ -265,6 +265,91 @@ def preagg_sum_count_df(ds, keys, sum_cols, count_alias="n"):
     )
 
 
+def _bucket_rows(df, keys, n_buckets, out_col="__ub"):
+    """Multi-key coarse-bucket key: one deterministic row hash over the
+    key columns jointly (``dedup._coarse_bucket`` hashes a single
+    column; low-cardinality FIRST keys like p_brand would starve the
+    buckets). Mutates ``df`` — callers copy when the frame is shared."""
+    h = pd.util.hash_pandas_object(df[list(keys)], index=False).to_numpy()
+    df[out_col] = (h % n_buckets).astype("int64")
+    return df
+
+
+def grouped_sum_cb(ds, keys, sum_cols, count_alias=None, batch_size=65536):
+    """Grouped sum at ARBITRARY key cardinality (part/supplier keys are
+    SF-proportional — 10⁹ groups at the 100 TB target): per-batch
+    partial sums shrink each batch to one row per in-batch key combo,
+    then ONE coarse-bucket shuffle with a vectorized pandas fold per
+    bucket. Never Ray's per-key grouped aggregate (super-linear beyond
+    ~10⁴ groups, measured in dedup.exact_dedup) and never a driver-side
+    merge (preagg_sum_count_df's bound). Returns a Dataset with columns
+    keys + sum_cols (+ count_alias), still distributed."""
+    from .dedup import _adaptive_coarse
+
+    keys = list(keys)
+    vals = list(sum_cols) + ([count_alias] if count_alias else [])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        if batch.empty:  # typed empty: object-dtype columns from a
+            # schema-less empty frame break Arrow unification
+            out = batch[keys + list(sum_cols)].iloc[:0].copy()
+            if count_alias:
+                out[count_alias] = pd.Series(dtype="int64")
+            return out
+        agg = {c: (c, "sum") for c in sum_cols}
+        if count_alias:
+            agg[count_alias] = (keys[0], "size")
+        return batch.groupby(keys, as_index=False, sort=False).agg(**agg)
+
+    partials = ds.map_batches(
+        partial, batch_format="pandas", batch_size=batch_size
+    ).materialize()  # consumed by count() + the bucketed fold
+    n_cb = _adaptive_coarse(partials.count(), per_group_target=200_000)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(keys, as_index=False, sort=False)[vals].sum()
+
+    return (
+        partials.map_batches(
+            lambda b, _n=n_cb: _bucket_rows(b.copy(), keys, _n),
+            batch_format="pandas",
+        )
+        .groupby("__ub")
+        .map_groups(fold, batch_format="pandas")
+    )
+
+
+def distinct_cb(ds, cols, batch_size=65536):
+    """DISTINCT over arbitrary-cardinality column combos: per-batch
+    drop_duplicates → coarse-bucket shuffle on the joint row hash →
+    per-bucket drop_duplicates. Same scale rationale as
+    :func:`grouped_sum_cb` (``ds.unique`` / per-key groupby degrade on
+    high-cardinality keys). Returns a Dataset of the distinct rows."""
+    from .dedup import _adaptive_coarse
+
+    cols = list(cols)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b[cols].drop_duplicates()
+
+    partials = ds.map_batches(
+        partial, batch_format="pandas", batch_size=batch_size
+    ).materialize()  # consumed by count() + the bucketed distinct
+    n_cb = _adaptive_coarse(partials.count(), per_group_target=200_000)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        return g[cols].drop_duplicates()
+
+    return (
+        partials.map_batches(
+            lambda b, _n=n_cb: _bucket_rows(b.copy(), cols, _n),
+            batch_format="pandas",
+        )
+        .groupby("__ub")
+        .map_groups(fold, batch_format="pandas")
+    )
+
+
 def with_row_rank(ds, sort_cols, rank_col="row_rank", descending=False):
     """Global ROW_NUMBER() OVER (ORDER BY sort_cols): the one window
     shape Ray Data's API can't express (every row needs its exact

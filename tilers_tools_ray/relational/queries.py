@@ -2261,6 +2261,175 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q11_important_parts(sf_dir, threshold_frac=0.00075):
+    """TPC-H Q11 shape (adapted — no partsupp table): per-part revenue
+    value with a HAVING-against-global-total filter. Part keys are
+    SF-proportional (10⁹ at the 100 TB target), so the grouped sum runs
+    through ops.grouped_sum_cb (per-batch partials → ONE coarse-bucket
+    shuffle, never a per-key grouped aggregate); the global total is a
+    distributed scalar sum over the already-tiny grouped output. The
+    result is bounded BY CONSTRUCTION: values sum to the total, so at
+    most 1/threshold_frac (~1,333) rows can exceed
+    ``threshold_frac * total`` — the driver-side collect is O(1) in SF.
+    Upstream has no relational layer (tiles_convert.py::TileSet is
+    key/value only); this is the J5/A-series graft contract."""
+    li = ops.read(sf_dir, "lineitem", columns=["l_partkey", "l_extendedprice"])
+
+    def cents(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "l_partkey": b["l_partkey"],
+                # 2-decimal money → *100 is integer-valued; exact int64
+                "value_cents": np.round(
+                    b["l_extendedprice"].to_numpy() * 100.0
+                ).astype(np.int64),
+            }
+        )
+
+    per_part = ops.grouped_sum_cb(
+        li.map_batches(cents, batch_format="pandas"),
+        ["l_partkey"], ["value_cents"],
+    ).materialize()  # consumed by sum() + the threshold filter
+    total = int(per_part.sum("value_cents"))
+    thr = total * threshold_frac  # float, DuckDB's op order
+
+    def keep(b: pd.DataFrame) -> pd.DataFrame:
+        return b[b["value_cents"].to_numpy() > thr]
+
+    out = per_part.map_batches(keep, batch_format="pandas").to_pandas()
+    out = out.astype({"l_partkey": "int64", "value_cents": "int64"})
+    return out.sort_values(
+        ["value_cents", "l_partkey"], ascending=[False, True]
+    ).reset_index(drop=True)[["l_partkey", "value_cents"]]
+
+
+Q11_SQL = """
+WITH pv AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS value_cents
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT l_partkey, value_cents FROM pv
+WHERE value_cents > (SELECT sum(value_cents) * 0.00075 FROM pv)
+ORDER BY value_cents DESC, l_partkey
+"""
+
+
+def q15_top_supplier(sf_dir):
+    """TPC-H Q15 shape: revenue per supplier over one quarter, return
+    the max-revenue supplier(s) (tie-safe, like the view-based
+    original). Supplier keys are SF-proportional → ops.grouped_sum_cb
+    for the grouped revenue; the max is a distributed scalar over the
+    grouped output and the winner set is tiny (ties only), so the
+    supplier-name lookup is a broadcast key-filter over the supplier
+    scan, not a join shuffle. Revenue in x10000 fixed-point:
+    extendedprice (2 dec) × (1−discount) (2 dec) is 4-decimal exact, so
+    the int64 sum is bit-deterministic and order-independent."""
+    li = ops.read(
+        sf_dir, "lineitem",
+        columns=["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    lo, hi = np.datetime64("1996-01-01"), np.datetime64("1996-04-01")
+
+    def rev(b: pd.DataFrame) -> pd.DataFrame:
+        sd = b["l_shipdate"].to_numpy()
+        m = (sd >= lo) & (sd < hi)
+        v = b["l_extendedprice"].to_numpy()[m] * (
+            1.0 - b["l_discount"].to_numpy()[m]
+        )
+        return pd.DataFrame(
+            {
+                "l_suppkey": b["l_suppkey"].to_numpy()[m],
+                "rev_x10000": np.round(v * 10000.0).astype(np.int64),
+            }
+        )
+
+    per_supp = ops.grouped_sum_cb(
+        li.map_batches(rev, batch_format="pandas"),
+        ["l_suppkey"], ["rev_x10000"],
+    ).materialize()  # consumed by max() + the winner filter
+    best = int(per_supp.max("rev_x10000"))
+
+    def winners(b: pd.DataFrame) -> pd.DataFrame:
+        return b[b["rev_x10000"].to_numpy() == best]
+
+    win = per_supp.map_batches(winners, batch_format="pandas").to_pandas()
+    keys = set(win["l_suppkey"].tolist())  # tiny: ties only
+    sup = ops.read(sf_dir, "supplier", columns=["s_suppkey", "s_name"])
+
+    def pick(b: pd.DataFrame) -> pd.DataFrame:
+        return b[b["s_suppkey"].isin(keys)]
+
+    names = sup.map_batches(pick, batch_format="pandas").to_pandas()
+    out = names.merge(
+        win, left_on="s_suppkey", right_on="l_suppkey", how="inner"
+    )[["s_suppkey", "s_name", "rev_x10000"]]
+    out = out.astype({"s_suppkey": "int64", "rev_x10000": "int64"})
+    return out.sort_values("s_suppkey").reset_index(drop=True)
+
+
+Q15_SQL = """
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                       AS BIGINT)) AS BIGINT) AS rev_x10000
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, rev_x10000
+FROM supplier JOIN rev ON s_suppkey = l_suppkey
+WHERE rev_x10000 = (SELECT max(rev_x10000) FROM rev)
+ORDER BY s_suppkey
+"""
+
+
+def q16_brand_size_suppliers(sf_dir, broadcast_limit=5_000_000):
+    """TPC-H Q16 shape: COUNT(DISTINCT supplier) per part attribute
+    combo, with dim-side predicates. part is SF-proportional →
+    size-guarded ops.dim_join (the dim-side filter runs BEFORE the
+    join, so only qualifying part rows are broadcast/shuffled); the
+    distinct (brand, size, suppkey) triples — supplier count is
+    SF-proportional too — deduplicate through ops.distinct_cb (ONE
+    coarse-bucket shuffle), and only the final count lands driver-side
+    (bounded by brands × sizes)."""
+    sizes = (1, 4, 7, 10, 13, 16, 19, 22)
+    part = ops.read(sf_dir, "part", columns=["p_partkey", "p_brand", "p_size"])
+
+    def dimf(b: pd.DataFrame) -> pd.DataFrame:
+        m = (b["p_brand"].to_numpy() != "Brand#13") & np.isin(
+            b["p_size"].to_numpy(), sizes
+        )
+        return b[m]
+
+    li = ops.read(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+    joined = ops.dim_join(
+        li, part.map_batches(dimf, batch_format="pandas"),
+        on="l_partkey", right_on="p_partkey",
+        broadcast_limit=broadcast_limit,
+    )
+    trip = ops.distinct_cb(joined, ["p_brand", "p_size", "l_suppkey"])
+    cnt = ops.preagg_sum_count_df(
+        trip, ["p_brand", "p_size"], [], count_alias="supplier_cnt"
+    )
+    cnt = cnt.astype({"p_size": "int64", "supplier_cnt": "int64"})
+    return cnt.sort_values(
+        ["supplier_cnt", "p_brand", "p_size"], ascending=[False, True, True]
+    ).reset_index(drop=True)[["p_brand", "p_size", "supplier_cnt"]]
+
+
+Q16_SQL = """
+SELECT p_brand, CAST(p_size AS BIGINT) AS p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#13'
+  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+GROUP BY p_brand, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_size
+"""
+
+
 def _user_bucketed(ev):
     """Coarse-key events by hash(user) — each user lands wholly in one
     bucket-group, so per-user windowing runs as ONE vectorized pandas
@@ -3306,6 +3475,9 @@ QUERIES = {
     "q7_nation_trade_volume": q7_nation_trade_volume,
     "q8_market_share": q8_market_share,
     "q9_product_profit": q9_product_profit,
+    "q11_important_parts": q11_important_parts,
+    "q15_top_supplier": q15_top_supplier,
+    "q16_brand_size_suppliers": q16_brand_size_suppliers,
     "orders_price_band_join": orders_price_band_join,
     "order_price_quantiles": order_price_quantiles,
     "segment_distinct_customers": segment_distinct_customers,
@@ -3376,6 +3548,9 @@ ORACLES = {
     "q7_nation_trade_volume": Q7_SQL,
     "q8_market_share": Q8_SQL,
     "q9_product_profit": Q9_SQL,
+    "q11_important_parts": Q11_SQL,
+    "q15_top_supplier": Q15_SQL,
+    "q16_brand_size_suppliers": Q16_SQL,
     "orders_price_band_join": BAND_JOIN_SQL,
     "order_price_quantiles": QUANTILES_SQL,
     "segment_distinct_customers": DISTINCT_SQL,
