@@ -117,6 +117,10 @@ def test_entry_smoke(ray_session):
         "q11_important_parts",
         "q15_top_supplier",
         "q16_brand_size_suppliers",
+        "q2_min_cost_supplier",
+        "q19_discounted_revenue",
+        "q20_big_blue_suppliers",
+        "q21_waiting_suppliers",
     ],
 )
 def test_oracle_match(registry, name):
@@ -627,6 +631,38 @@ def test_grouped_sum_cb_matches_pandas(ray_session):
         df.groupby(["k1", "k2"], as_index=False)
         .agg(v=("v", "sum"), n=("v", "size"))
         .sort_values(["k1", "k2"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_grouped_min_cb_matches_pandas(ray_session):
+    """grouped_min_cb (coarse-bucketed grouped min — the Q2 argmin
+    substrate) ≡ a plain pandas groupby-min across block splits."""
+    import numpy as np
+    import ray.data as rd
+
+    from tilers_tools_ray.relational import ops
+
+    rng = np.random.default_rng(13)
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 300, 5000),
+            "v": rng.integers(-1000, 1000, 5000).astype("int64"),
+            "w": rng.normal(size=5000),
+        }
+    )
+    ds = rd.from_pandas(df).repartition(7)
+    got = (
+        ops.grouped_min_cb(ds, ["k"], ["v", "w"])
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    exp = (
+        df.groupby("k", as_index=False)[["v", "w"]]
+        .min()
+        .sort_values("k")
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)

@@ -319,6 +319,42 @@ def grouped_sum_cb(ds, keys, sum_cols, count_alias=None, batch_size=65536):
     )
 
 
+def grouped_min_cb(ds, keys, min_cols, batch_size=65536):
+    """Grouped MIN at ARBITRARY key cardinality — the same two-level
+    shape as :func:`grouped_sum_cb` (min is associative/commutative, so
+    a min of per-batch partial mins is exact): per-batch pandas
+    ``groupby(...).min()`` shrinks each batch to one row per in-batch
+    key combo, then ONE coarse-bucket shuffle folds the partials.
+    Returns a Dataset with columns keys + min_cols, still
+    distributed. Feeds argmin join-backs (Q2 shape)."""
+    from .dedup import _adaptive_coarse
+
+    keys = list(keys)
+    cols = list(min_cols)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        if batch.empty:  # typed empty (see grouped_sum_cb)
+            return batch[keys + cols].iloc[:0].copy()
+        return batch.groupby(keys, as_index=False, sort=False)[cols].min()
+
+    partials = ds.map_batches(
+        partial, batch_format="pandas", batch_size=batch_size
+    ).materialize()  # consumed by count() + the bucketed fold
+    n_cb = _adaptive_coarse(partials.count(), per_group_target=200_000)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(keys, as_index=False, sort=False)[cols].min()
+
+    return (
+        partials.map_batches(
+            lambda b, _n=n_cb: _bucket_rows(b.copy(), keys, _n),
+            batch_format="pandas",
+        )
+        .groupby("__ub")
+        .map_groups(fold, batch_format="pandas")
+    )
+
+
 def distinct_cb(ds, cols, batch_size=65536):
     """DISTINCT over arbitrary-cardinality column combos: per-batch
     drop_duplicates → coarse-bucket shuffle on the joint row hash →

@@ -2430,6 +2430,422 @@ ORDER BY supplier_cnt DESC, p_brand, p_size
 """
 
 
+def q2_min_cost_supplier(sf_dir, broadcast_limit=5_000_000):
+    """TPC-H Q2 shape (adapted — this corpus has no ``partsupp``, so
+    'supply cost' is the minimum observed lineitem price): for each
+    part in a narrow size/type slice, the EUROPE supplier(s) selling it
+    at the per-part minimum price. This is the Q2 correlated-subquery
+    shape re-expressed for Ray Data: a distributed grouped ARGMIN
+    (ops.grouped_min_cb — per-batch partial mins, ONE coarse-bucket
+    fold) followed by an equality JOIN-BACK of the min table onto the
+    candidate rows (size-guarded dim_join). Prices compare as exact
+    int64 cents so the equality join-back is float-safe. Both semi
+    filters run before any exchange, so only slice×EUROPE lineitem rows
+    ever enter a shuffle. The final sort+LIMIT runs driver-side on the
+    argmin winner set, which is bounded by the slice cardinality
+    (~0.4 % of part keys), not by lineitem."""
+    part_slice = ops.read(
+        sf_dir, "part", columns=["p_partkey", "p_size", "p_type"]
+    ).map_batches(
+        lambda b: b.loc[
+            b["p_size"].between(10, 20) & (b["p_type"] == "PROMO"),
+            ["p_partkey"],
+        ],
+        batch_format="pandas",
+    )
+
+    # nation/region are bounded dims (25/5 rows) → pandas-side merge,
+    # then ONE broadcast hop into the SF-proportional supplier scan
+    nation = ops.read_pandas(
+        sf_dir, "nation", columns=["n_nationkey", "n_name", "n_regionkey"]
+    )
+    region = ops.read_pandas(sf_dir, "region")
+    nr = nation.merge(
+        region.loc[region["r_name"] == "EUROPE", ["r_regionkey"]],
+        left_on="n_regionkey",
+        right_on="r_regionkey",
+    )[["n_nationkey", "n_name"]].rename(columns={"n_nationkey": "s_nationkey"})
+    supp = ops.read(
+        sf_dir,
+        "supplier",
+        columns=["s_suppkey", "s_name", "s_acctbal", "s_nationkey"],
+    )
+    eur = ops.broadcast_join(supp, nr, on="s_nationkey").map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "s_suppkey": b["s_suppkey"],
+                "s_name": b["s_name"],
+                "acctbal_cents": np.round(
+                    b["s_acctbal"].to_numpy() * 100
+                ).astype("int64"),
+                "n_name": b["n_name"],
+            }
+        ),
+        batch_format="pandas",
+    ).materialize()  # reused: semi filter now + name join-back later
+
+    li = ops.read(
+        sf_dir, "lineitem", columns=["l_partkey", "l_suppkey", "l_extendedprice"]
+    )
+    li = ops.semi_join(
+        li, part_slice, on="l_partkey", right_on="p_partkey",
+        broadcast_limit=broadcast_limit,
+    )
+    li = ops.semi_join(
+        li, eur, on="l_suppkey", right_on="s_suppkey",
+        broadcast_limit=broadcast_limit,
+    )
+
+    def cents(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "l_partkey": b["l_partkey"],
+                "l_suppkey": b["l_suppkey"],
+                "price_cents": np.round(
+                    b["l_extendedprice"].to_numpy() * 100
+                ).astype("int64"),
+            }
+        )
+
+    cand = ops.distinct_cb(
+        li.map_batches(cents, batch_format="pandas"),
+        ["l_partkey", "l_suppkey", "price_cents"],
+    ).materialize()  # consumed twice: grouped min + join-back
+    mins = ops.grouped_min_cb(cand, ["l_partkey"], ["price_cents"]).map_batches(
+        lambda b: b.rename(columns={"price_cents": "__min_cents"}),
+        batch_format="pandas",
+    )
+    winners = ops.dim_join(
+        cand, mins, on="l_partkey", broadcast_limit=broadcast_limit
+    ).map_batches(
+        lambda b: b.loc[
+            b["price_cents"].to_numpy() == b["__min_cents"].to_numpy(),
+            ["l_partkey", "l_suppkey", "price_cents"],
+        ],
+        batch_format="pandas",
+    )
+    out = ops.dim_join(
+        winners, eur, on="l_suppkey", right_on="s_suppkey",
+        broadcast_limit=broadcast_limit,
+    ).to_pandas()  # bounded: ≤ ties × slice parts (see docstring)
+    out = out.rename(columns={"l_partkey": "p_partkey"}).astype(
+        {"p_partkey": "int64", "price_cents": "int64", "acctbal_cents": "int64"}
+    )
+    return (
+        out.sort_values(
+            ["acctbal_cents", "n_name", "s_name", "p_partkey"],
+            ascending=[False, True, True, True],
+        )
+        .head(100)
+        .reset_index(drop=True)[
+            ["p_partkey", "s_name", "n_name", "acctbal_cents", "price_cents"]
+        ]
+    )
+
+
+Q2_SQL = """
+WITH eur AS (
+  SELECT s_suppkey, s_name,
+         CAST(round(s_acctbal * 100) AS BIGINT) AS acctbal_cents, n_name
+  FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+), slc AS (
+  SELECT p_partkey FROM part
+  WHERE p_size BETWEEN 10 AND 20 AND p_type = 'PROMO'
+), cand AS (
+  SELECT DISTINCT l_partkey AS p_partkey, l_suppkey,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents
+  FROM lineitem
+    JOIN slc ON p_partkey = l_partkey
+    JOIN eur ON s_suppkey = l_suppkey
+), mins AS (
+  SELECT p_partkey, min(price_cents) AS m FROM cand GROUP BY 1
+)
+SELECT c.p_partkey, e.s_name, e.n_name, e.acctbal_cents, c.price_cents
+FROM cand c
+  JOIN mins USING (p_partkey)
+  JOIN eur e ON e.s_suppkey = c.l_suppkey
+WHERE c.price_cents = mins.m
+ORDER BY e.acctbal_cents DESC, e.n_name, e.s_name, c.p_partkey
+LIMIT 100
+"""
+
+
+def q19_discounted_revenue(sf_dir, broadcast_limit=5_000_000):
+    """TPC-H Q19 shape — the disjunctive multi-predicate join: revenue
+    from lineitems whose part matches ANY of three (brand, size-range,
+    quantity-range) clauses. The part slice is pre-filtered to the
+    UNION of the (brand, size) clauses before the size-guarded
+    dim_join (so only candidate parts' lineitems enter the join), and
+    the full disjunction — including the per-row quantity term — is
+    ONE vectorized boolean expression per joined batch. Revenue in
+    exact x10000 fixed-point (price 2-dec × (1−discount) 2-dec)."""
+    clauses = [
+        ("Brand#12", 1, 15, 1, 11),
+        ("Brand#23", 1, 25, 10, 20),
+        ("Brand#34", 1, 35, 20, 30),
+    ]
+
+    def part_filter(b: pd.DataFrame) -> pd.DataFrame:
+        m = np.zeros(len(b), dtype=bool)
+        for brand, slo, shi, _, _ in clauses:
+            m |= (b["p_brand"] == brand).to_numpy() & b["p_size"].between(
+                slo, shi
+            ).to_numpy()
+        return b.loc[m, ["p_partkey", "p_brand", "p_size"]]
+
+    slc = ops.read(
+        sf_dir, "part", columns=["p_partkey", "p_brand", "p_size"]
+    ).map_batches(part_filter, batch_format="pandas")
+    li = ops.read(
+        sf_dir,
+        "lineitem",
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+    j = ops.dim_join(
+        li, slc, on="l_partkey", right_on="p_partkey",
+        broadcast_limit=broadcast_limit,
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        m = np.zeros(len(b), dtype=bool)
+        for brand, slo, shi, qlo, qhi in clauses:
+            m |= (
+                (b["p_brand"] == brand).to_numpy()
+                & b["p_size"].between(slo, shi).to_numpy()
+                & b["l_quantity"].between(qlo, qhi).to_numpy()
+            )
+        v = b.loc[m]
+        rev = (
+            np.round(
+                v["l_extendedprice"].to_numpy()
+                * (1 - v["l_discount"].to_numpy())
+                * 10000
+            )
+            .astype("int64")
+            .sum()
+        )
+        return pd.DataFrame({"revenue_x10000": [rev]})
+
+    parts = j.map_batches(partial, batch_format="pandas").to_pandas()
+    return pd.DataFrame(
+        {"revenue_x10000": [np.int64(parts["revenue_x10000"].sum())]}
+    )
+
+
+Q19_SQL = """
+SELECT CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                     AS BIGINT)) AS BIGINT) AS revenue_x10000
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def q20_big_blue_suppliers(sf_dir, broadcast_limit=5_000_000):
+    """TPC-H Q20 shape — the nested semi-join with a grouped HAVING:
+    suppliers whose shipped quantity of 'blue' parts exceeds 1.05× the
+    mean per-supplier blue quantity (the original's availqty threshold
+    re-expressed relative so it scales with SF). Pipeline: part-name
+    slice → semi-filter lineitem (Bloom-guarded, only blue rows enter
+    any exchange) → ops.grouped_sum_cb per supplier (SF-proportional
+    keys → coarse-bucket reduce) → EXACT integer threshold compare
+    (q·n·20 > 21·total ⇔ q > 1.05·total/n — no float boundary) →
+    name lookup via size-guarded dim_join. Result is bounded by
+    supplier cardinality."""
+    blue = ops.read(sf_dir, "part", columns=["p_partkey", "p_name"]).map_batches(
+        lambda b: b.loc[b["p_name"].str.contains("blue"), ["p_partkey"]],
+        batch_format="pandas",
+    )
+    li = ops.read(
+        sf_dir, "lineitem", columns=["l_partkey", "l_suppkey", "l_quantity"]
+    )
+    li = ops.semi_join(
+        li, blue, on="l_partkey", right_on="p_partkey",
+        broadcast_limit=broadcast_limit,
+    )
+
+    def qty(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "l_suppkey": b["l_suppkey"],
+                # quantities are integer-valued; exact int64 sum
+                "qty": np.round(b["l_quantity"].to_numpy()).astype("int64"),
+            }
+        )
+
+    per_supp = ops.grouped_sum_cb(
+        li.map_batches(qty, batch_format="pandas"), ["l_suppkey"], ["qty"]
+    ).materialize()  # consumed by sum() + count() + the filter
+    total = int(per_supp.sum("qty"))
+    n = per_supp.count()
+    if n == 0:
+        return pd.DataFrame(
+            {"s_name": pd.Series(dtype=object), "n_name": pd.Series(dtype=object)}
+        )
+
+    keep = per_supp.map_batches(
+        lambda b: b.loc[
+            b["qty"].to_numpy() * np.int64(n) * 20 > 21 * np.int64(total),
+            ["l_suppkey"],
+        ],
+        batch_format="pandas",
+    )
+    # supplier ⋈ nation once (nation is a bounded dim → broadcast into
+    # the supplier scan), then ONE size-guarded hop onto the keep set
+    nat = ops.read_pandas(
+        sf_dir, "nation", columns=["n_nationkey", "n_name"]
+    ).rename(columns={"n_nationkey": "s_nationkey"})
+    snds = ops.broadcast_join(
+        ops.read(
+            sf_dir, "supplier", columns=["s_suppkey", "s_name", "s_nationkey"]
+        ),
+        nat,
+        on="s_nationkey",
+    ).select_columns(["s_suppkey", "s_name", "n_name"])
+    names = ops.dim_join(
+        keep, snds, on="l_suppkey", right_on="s_suppkey",
+        broadcast_limit=broadcast_limit,
+    ).to_pandas()  # bounded by supplier qualifying set
+    return (
+        names[["s_name", "n_name"]]
+        .sort_values("s_name")
+        .reset_index(drop=True)
+    )
+
+
+Q20_SQL = """
+WITH s AS (
+  SELECT l_suppkey, CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS q
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_name LIKE '%blue%'
+  GROUP BY 1
+), t AS (SELECT sum(q) AS tot, count(*) AS n FROM s)
+SELECT s_name, n_name
+FROM s, t, supplier
+  JOIN nation ON s_nationkey = n_nationkey
+WHERE s.l_suppkey = s_suppkey AND s.q * t.n * 20 > 21 * t.tot
+ORDER BY s_name
+"""
+
+
+def q21_waiting_suppliers(sf_dir, broadcast_limit=5_000_000, k=100):
+    """TPC-H Q21 shape — the EXISTS / NOT-EXISTS self-join on lineitem
+    within an order (adapted to this corpus's columns: 'late' =
+    l_returnflag 'R'): count, per supplier, the finished ('F') orders
+    where THIS supplier returned an item, at least one OTHER supplier
+    participated (EXISTS), and NO other supplier returned one
+    (NOT EXISTS). Pipeline: 'F'-order semi filter → per-batch partial
+    dedup of (order, supplier, any-R) → ONE coarse-bucket shuffle on
+    l_orderkey (every order lands wholly in one group — the
+    _user_bucketed discipline) with the exists/not-exists test
+    vectorized ACROSS orders per group → grouped count per supplier →
+    size-guarded name join. Top-k on (numwait desc, s_name) is
+    deterministic (s_name unique per supplier)."""
+    from .dedup import _adaptive_coarse, _coarse_bucket
+
+    fkeys = ops.read(
+        sf_dir, "orders", columns=["o_orderkey", "o_orderstatus"]
+    ).map_batches(
+        lambda b: b.loc[b["o_orderstatus"] == "F", ["o_orderkey"]],
+        batch_format="pandas",
+    )
+    li = ops.read(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey", "l_returnflag"]
+    )
+    li = ops.semi_join(
+        li, fkeys, on="l_orderkey", right_on="o_orderkey",
+        broadcast_limit=broadcast_limit,
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame(
+                {
+                    "l_orderkey": pd.Series(dtype="int64"),
+                    "l_suppkey": pd.Series(dtype="int64"),
+                    "r": pd.Series(dtype="int64"),
+                }
+            )
+        d = pd.DataFrame(
+            {
+                "l_orderkey": b["l_orderkey"],
+                "l_suppkey": b["l_suppkey"],
+                "r": (b["l_returnflag"] == "R").astype("int64"),
+            }
+        )
+        return d.groupby(
+            ["l_orderkey", "l_suppkey"], as_index=False, sort=False
+        )["r"].max()
+
+    pairs = li.map_batches(partial, batch_format="pandas").materialize()
+    n_cb = _adaptive_coarse(pairs.count(), per_group_target=200_000)
+
+    def winners(g: pd.DataFrame) -> pd.DataFrame:
+        # re-dedup across batch partials, then the EXISTS / NOT-EXISTS
+        # test as two grouped transforms vectorized over all orders in
+        # the bucket: qualify when n_suppliers ≥ 2 and exactly one
+        # supplier returned — the winner is that supplier's row
+        d = g.groupby(["l_orderkey", "l_suppkey"], as_index=False, sort=False)[
+            "r"
+        ].max()
+        grp = d.groupby("l_orderkey")["r"]
+        ns = grp.transform("size").to_numpy()
+        nr = grp.transform("sum").to_numpy()
+        w = d.loc[(d["r"].to_numpy() == 1) & (ns >= 2) & (nr == 1)]
+        return w[["l_suppkey"]]
+
+    win = (
+        pairs.map_batches(
+            lambda b, _n=n_cb: _coarse_bucket(b.copy(), "l_orderkey", _n),
+            batch_format="pandas",
+        )
+        .groupby("__ub")
+        .map_groups(winners, batch_format="pandas")
+    )
+    counts = ops.grouped_sum_cb(win, ["l_suppkey"], [], count_alias="numwait")
+    named = ops.dim_join(
+        counts,
+        ops.read(sf_dir, "supplier", columns=["s_suppkey", "s_name"]),
+        on="l_suppkey",
+        right_on="s_suppkey",
+        broadcast_limit=broadcast_limit,
+    ).to_pandas()  # bounded by supplier cardinality
+    named = named.astype({"numwait": "int64"})
+    return (
+        named.sort_values(["numwait", "s_name"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)[["s_name", "numwait"]]
+    )
+
+
+Q21_SQL = """
+WITH ls AS (
+  SELECT l_orderkey, l_suppkey,
+         max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS r
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  WHERE o_orderstatus = 'F'
+  GROUP BY 1, 2
+), po AS (
+  SELECT l_orderkey, count(*) AS ns, sum(r) AS nr FROM ls GROUP BY 1
+)
+SELECT s_name, count(*) AS numwait
+FROM ls
+  JOIN po USING (l_orderkey)
+  JOIN supplier ON s_suppkey = l_suppkey
+WHERE ls.r = 1 AND po.ns >= 2 AND po.nr = 1
+GROUP BY 1
+ORDER BY numwait DESC, s_name
+LIMIT 100
+"""
+
+
 def _user_bucketed(ev):
     """Coarse-key events by hash(user) — each user lands wholly in one
     bucket-group, so per-user windowing runs as ONE vectorized pandas
@@ -3478,6 +3894,10 @@ QUERIES = {
     "q11_important_parts": q11_important_parts,
     "q15_top_supplier": q15_top_supplier,
     "q16_brand_size_suppliers": q16_brand_size_suppliers,
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q19_discounted_revenue": q19_discounted_revenue,
+    "q20_big_blue_suppliers": q20_big_blue_suppliers,
+    "q21_waiting_suppliers": q21_waiting_suppliers,
     "orders_price_band_join": orders_price_band_join,
     "order_price_quantiles": order_price_quantiles,
     "segment_distinct_customers": segment_distinct_customers,
@@ -3551,6 +3971,10 @@ ORACLES = {
     "q11_important_parts": Q11_SQL,
     "q15_top_supplier": Q15_SQL,
     "q16_brand_size_suppliers": Q16_SQL,
+    "q2_min_cost_supplier": Q2_SQL,
+    "q19_discounted_revenue": Q19_SQL,
+    "q20_big_blue_suppliers": Q20_SQL,
+    "q21_waiting_suppliers": Q21_SQL,
     "orders_price_band_join": BAND_JOIN_SQL,
     "order_price_quantiles": QUANTILES_SQL,
     "segment_distinct_customers": DISTINCT_SQL,
