@@ -86,6 +86,14 @@ BENCH_QUERIES = [
     "q11_important_parts",
     "q15_top_supplier",
     "q16_brand_size_suppliers",
+    "q2_min_cost_supplier",
+    "q19_discounted_revenue",
+    "q20_big_blue_suppliers",
+    "q21_waiting_suppliers",
+    "doc_repetition",
+    "benchmark_contamination",
+    "pack_documents",
+    "kmeans_embeddings",
 ]
 
 CORPUS_ROWS = {"sf0.1": 25000, "sf0.01": 2000, "sf0.001": 400}

@@ -121,6 +121,9 @@ def test_entry_smoke(ray_session):
         "q19_discounted_revenue",
         "q20_big_blue_suppliers",
         "q21_waiting_suppliers",
+        "doc_repetition",
+        "benchmark_contamination",
+        "pack_documents",
     ],
 )
 def test_oracle_match(registry, name):
@@ -158,6 +161,7 @@ def test_oracle_match(registry, name):
         "phash_near_dup_images",
         "dedup_clean_images",
         "parse_georef_sidecars",
+        "kmeans_embeddings",
     ],
 )
 def test_rows_only_queries_run(registry, name):
@@ -694,4 +698,81 @@ def test_distinct_cb_matches_pandas(ray_session):
         .sort_values(["a", "b"])
         .reset_index(drop=True)
     )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_kmeans_planted_blobs(ray_session):
+    """ann.kmeans recovers well-separated planted clusters (purity ≈ 1)
+    AND the distributed Lloyd pass equals a serial reference
+    implementation run from the same seeded init — the partial-sum
+    merge must be exactly the full-data mean."""
+    import numpy as np
+    import ray.data as rd
+
+    from tilers_tools_ray.relational import ann
+
+    rng = np.random.default_rng(3)
+    k, d, per = 6, 16, 300
+    centers = ann._normalize(rng.normal(size=(k, d)) * 4)
+    X = np.concatenate(
+        [centers[i] * 5 + rng.normal(size=(per, d)) * 0.2 for i in range(k)]
+    )
+    labels = np.repeat(np.arange(k), per)
+    df = pd.DataFrame(
+        {"vec_id": np.arange(len(X), dtype="int64"), "embedding": list(X)}
+    )
+    ds = rd.from_pandas(df).repartition(8)
+
+    cent, stats = ann.kmeans(ds, k=k, iters=8, seed=5, batch_size=256)
+    assert stats["n"].sum() == len(X)
+
+    asg = ann.kmeans_assign(ds, cent).to_pandas().sort_values("vec_id")
+    m = pd.DataFrame({"cluster": asg["cluster"].to_numpy(), "label": labels})
+    purity = (
+        m.groupby("cluster")["label"].agg(lambda s: s.value_counts().iloc[0]).sum()
+        / len(m)
+    )
+    assert purity >= 0.99, purity
+
+    # serial reference from the identical seeded init
+    sample = ann._seeded_sample(ds.select_columns(["vec_id", "embedding"]), 8192, seed=5)
+    ref = ann._kmeanspp_init(
+        ann._normalize(np.stack([r["embedding"] for r in sample])), k, 5
+    )
+    Xn = ann._normalize(X)
+    for _ in range(8):
+        a = np.argmax(Xn @ ref.T, axis=1)
+        new = ref.copy()
+        for c in range(k):
+            mem = Xn[a == c]
+            if len(mem):
+                new[c] = mem.mean(axis=0)
+        ref = ann._normalize(new)
+    assert np.allclose(cent, ref, atol=1e-9)
+
+
+def test_with_running_sum_is_global_prefix_sum(ray_session):
+    """with_running_sum ≡ pandas sort + shifted cumsum, across an
+    arbitrary block split."""
+    import numpy as np
+    import ray.data as rd
+
+    from tilers_tools_ray.relational import ops
+
+    rng = np.random.default_rng(17)
+    df = pd.DataFrame(
+        {
+            "k": rng.permutation(4000).astype("int64"),
+            "v": rng.integers(0, 900, 4000).astype("int64"),
+        }
+    )
+    ds = rd.from_pandas(df).repartition(9)
+    got = (
+        ops.with_running_sum(ds, "k", "v", out_col="rs")
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    exp = df.sort_values("k").reset_index(drop=True)
+    exp["rs"] = exp["v"].cumsum().shift(fill_value=0)
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)

@@ -569,3 +569,168 @@ def embedding_cosine_dup_pairs(
             }
         )
     return df.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+
+
+def _kmeanspp_init(x, k, seed):
+    """k-means++ seeding (Arthur & Vassilvitskii, SODA'07) on the
+    normalized driver-side sample: each next seed is drawn with
+    probability ∝ cosine distance to its nearest chosen seed —
+    avoids the merged-cluster local optima plain random init falls
+    into. Deterministic for a fixed seed."""
+    rng = np.random.default_rng(seed)
+    k = min(k, len(x))
+    idx = [int(rng.integers(len(x)))]
+    d = np.maximum(1.0 - x @ x[idx[0]], 0.0)
+    for _ in range(1, k):
+        tot = d.sum()
+        if tot <= 0:  # all points coincide with a seed
+            nxt = int(rng.integers(len(x)))
+        else:
+            nxt = int(rng.choice(len(x), p=d / tot))
+        idx.append(nxt)
+        d = np.minimum(d, np.maximum(1.0 - x @ x[nxt], 0.0))
+    return x[idx].copy()
+
+
+def kmeans(
+    emb_ds,
+    k=10,
+    iters=8,
+    seed=11,
+    sample_cap=8192,
+    batch_size=4096,
+    vec_col="embedding",
+):
+    """Distributed spherical k-means (Lloyd's) over the FULL corpus —
+    the iterative-ML operator shape: init from a bounded seeded-sample
+    k-means-lite (corpus-size-independent driver memory, same
+    discipline as :func:`ivf_topk`), then each Lloyd iteration is ONE
+    streaming pass where every batch reduces to a fixed-size partial —
+    the k×d float64 sum matrix plus k counts, ~(k·d·8) bytes per BATCH
+    regardless of batch rows — and the driver folds O(blocks) such
+    rows into the new centroids (k×d driver memory total). Centroids
+    ship via ray.put once per iteration; rows are L2-normalized so
+    assignment is an argmax matmul (cosine). Ties and empty clusters
+    are deterministic: argmax takes the lowest index, an emptied
+    cluster keeps its previous centroid.
+
+    Returns ``(centroids, stats)``: centroids ``[k, d]`` float64 and a
+    per-cluster DataFrame ``(cluster, n, inertia)`` from a final
+    assignment pass, where inertia sums ``1 − cos(x, c)`` (rounded to
+    6 decimals — a float sum over a fixed assignment, stable at that
+    precision)."""
+    import ray
+
+    sample = _seeded_sample(emb_ds, sample_cap, seed=seed)
+    cent = _kmeanspp_init(
+        _normalize(np.stack([r[vec_col] for r in sample])), k, seed
+    )
+    k = len(cent)  # may be < requested on tiny inputs
+    emb_ds = emb_ds.select_columns([vec_col]).materialize()  # iterated
+
+    for _ in range(iters):
+        cref = ray.put(cent)
+
+        def partial(b: pd.DataFrame, _cref=cref, _k=k) -> pd.DataFrame:
+            c = ray.get(_cref)  # zero-copy plasma view, local after 1st
+            if len(b) == 0:  # zero partial is the merge identity
+                return pd.DataFrame(
+                    {
+                        "sums": [np.zeros((_k, c.shape[1])).tobytes()],
+                        "counts": [
+                            np.zeros(_k, dtype=np.int64).tobytes()
+                        ],
+                    }
+                )
+            x = _normalize(np.stack(b[vec_col].to_numpy()))
+            a = np.argmax(x @ c.T, axis=1)
+            sums = np.zeros((_k, x.shape[1]))
+            np.add.at(sums, a, x)
+            counts = np.bincount(a, minlength=_k).astype(np.int64)
+            return pd.DataFrame(
+                {"sums": [sums.tobytes()], "counts": [counts.tobytes()]}
+            )
+
+        agg = emb_ds.map_batches(
+            partial, batch_format="pandas", batch_size=batch_size
+        )
+        S = np.zeros_like(cent)
+        C = np.zeros(k, dtype=np.int64)
+        for b in agg.iter_batches(batch_format="pandas"):
+            for sb, cb in zip(b["sums"], b["counts"]):
+                S += np.frombuffer(sb, dtype=np.float64).reshape(cent.shape)
+                C += np.frombuffer(cb, dtype=np.int64)
+        nz = C > 0
+        new = cent.copy()
+        new[nz] = S[nz] / C[nz, None]
+        cent = _normalize(new)
+
+    # final assignment pass → per-cluster counts + inertia
+    cref = ray.put(cent)
+
+    def stats_partial(b: pd.DataFrame, _cref=cref, _k=k) -> pd.DataFrame:
+        c = ray.get(_cref)
+        if len(b) == 0:
+            return pd.DataFrame(
+                {
+                    "counts": [np.zeros(_k, dtype=np.int64).tobytes()],
+                    "inertia": [np.zeros(_k).tobytes()],
+                }
+            )
+        x = _normalize(np.stack(b[vec_col].to_numpy()))
+        s = x @ c.T
+        a = np.argmax(s, axis=1)
+        best = s[np.arange(len(a)), a]
+        counts = np.bincount(a, minlength=_k).astype(np.int64)
+        inertia = np.zeros(_k)
+        np.add.at(inertia, a, 1.0 - best)
+        return pd.DataFrame(
+            {"counts": [counts.tobytes()], "inertia": [inertia.tobytes()]}
+        )
+
+    C = np.zeros(k, dtype=np.int64)
+    inert = np.zeros(k)
+    for b in emb_ds.map_batches(
+        stats_partial, batch_format="pandas", batch_size=batch_size
+    ).iter_batches(batch_format="pandas"):
+        for cb, ib in zip(b["counts"], b["inertia"]):
+            C += np.frombuffer(cb, dtype=np.int64)
+            inert += np.frombuffer(ib, dtype=np.float64)
+    stats = pd.DataFrame(
+        {
+            "cluster": np.arange(k, dtype=np.int64),
+            "n": C,
+            "inertia": np.round(inert, 6),
+        }
+    )
+    return cent, stats
+
+
+def kmeans_assign(emb_ds, centroids, batch_size=4096, vec_col="embedding"):
+    """Assign every row to its nearest (cosine) centroid — a streaming
+    map_batches against the broadcast centroid matrix. Returns a
+    Dataset of (vec_id, cluster)."""
+    import ray
+
+    cref = ray.put(np.asarray(centroids, dtype=np.float64))
+
+    def assign(b: pd.DataFrame, _cref=cref) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame(
+                {
+                    "vec_id": pd.Series(dtype="int64"),
+                    "cluster": pd.Series(dtype="int64"),
+                }
+            )
+        c = ray.get(_cref)
+        x = _normalize(np.stack(b[vec_col].to_numpy()))
+        return pd.DataFrame(
+            {
+                "vec_id": b["vec_id"].astype("int64"),
+                "cluster": np.argmax(x @ c.T, axis=1).astype("int64"),
+            }
+        )
+
+    return emb_ds.map_batches(
+        assign, batch_format="pandas", batch_size=batch_size
+    )

@@ -441,6 +441,64 @@ def with_row_rank(ds, sort_cols, rank_col="row_rank", descending=False):
     return rd.from_arrow_refs(refs)
 
 
+def with_running_sum(ds, sort_cols, val_col, out_col="running_sum"):
+    """Global EXCLUSIVE running sum — ``SUM(val) OVER (ORDER BY
+    sort_cols ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)`` —
+    the substrate for GPT-style sequence packing (each doc's start
+    offset in the concatenated token stream). Same plan as
+    :func:`with_row_rank`: one range-partitioned sort (exact global
+    offsets require a total order), then offsets are assigned with no
+    further data movement. Unlike row ranks, per-block offsets need
+    each block's SUM, not just its row count, so one tiny raw task per
+    block first returns its scalar sum (the driver folds O(blocks)
+    scalars), and a second task per block stamps
+    ``offset + exclusive_cumsum(val)``. Values must be integer-typed —
+    int64 partial sums are exact under any block split."""
+    import ray
+    import ray.data as rd
+
+    if isinstance(sort_cols, str):
+        sort_cols = [sort_cols]
+    mat = ds.sort(sort_cols).materialize()
+    blocks = [
+        (ref, meta.num_rows)
+        for bundle in mat.iter_internal_ref_bundles()
+        for ref, meta in bundle.blocks
+    ]
+
+    @ray.remote
+    def _block_sum(block, col):
+        import pyarrow as _pa
+        import pyarrow.compute as _pc
+
+        if not isinstance(block, _pa.Table):
+            block = _pa.Table.from_pandas(block, preserve_index=False)
+        if block.num_rows == 0:
+            return 0
+        return _pc.sum(block.column(col)).as_py() or 0
+
+    @ray.remote
+    def _stamp(block, offset, col, out):
+        import numpy as _np
+        import pyarrow as _pa
+
+        if not isinstance(block, _pa.Table):
+            block = _pa.Table.from_pandas(block, preserve_index=False)
+        v = block.column(col).to_numpy(zero_copy_only=False).astype(_np.int64)
+        excl = _np.concatenate(([0], _np.cumsum(v)[:-1])) + offset
+        return block.append_column(out, _pa.array(excl))
+
+    live = [(ref, n) for ref, n in blocks if n]
+    sums = ray.get([_block_sum.remote(ref, val_col) for ref, _ in live])
+    refs, off = [], 0
+    for (ref, _), s in zip(live, sums):
+        refs.append(_stamp.remote(ref, off, val_col, out_col))
+        off += int(s)
+    if not refs:
+        return mat
+    return rd.from_arrow_refs(refs)
+
+
 def topk(ds, by, k, descending=True, tie_col=None):
     """Global top-k: per-block partial top-k then a final sort+limit
     (the partial pass bounds what the sort shuffles)."""

@@ -3310,6 +3310,171 @@ FROM documents ORDER BY doc_id
 """
 
 
+def doc_repetition(sf_dir):
+    """Within-document repetition ratio (the C4/Gopher-style quality
+    rule): 1 − distinct_tokens/total_tokens per doc, reported as an
+    EXACT integer parts-per-million (``(n−d)·10⁶ // n``) so neither
+    side can diverge on a float rounding boundary (np.round is
+    half-even, DuckDB round() is half-away — ratios like 65/128 land
+    exactly on the 6th decimal's half). Vectorized: one findall +
+    explode + C-level grouped nunique per batch; no shuffle (doc_id is
+    the natural partition)."""
+    ds = ops.read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def rep(b: pd.DataFrame) -> pd.DataFrame:
+        text = b["text"].fillna("").reset_index(drop=True)
+        ids = b["doc_id"].to_numpy()
+        toks = text.str.findall(r"\S+")
+        n = toks.str.len().to_numpy().astype("int64")
+        ex = pd.Series(toks.to_numpy(), index=ids).explode().dropna()
+        nd = (
+            ex.groupby(level=0).nunique()
+            .reindex(ids, fill_value=0)
+            .to_numpy()
+            .astype("int64")
+        )
+        safe_n = np.where(n == 0, 1, n)
+        return pd.DataFrame(
+            {
+                "doc_id": ids,
+                "n_tokens": n,
+                "n_distinct": nd,
+                "rep_ppm": np.where(n == 0, 0, (n - nd) * 1_000_000 // safe_n),
+            }
+        )
+
+    return ds.map_batches(rep, batch_format="pandas").sort("doc_id")
+
+
+DOC_REPETITION_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(regexp_extract_all(text, '\S+'))) AS BIGINT)
+           AS n_distinct
+  FROM documents
+)
+SELECT doc_id, n_tokens, n_distinct,
+       CASE WHEN n_tokens = 0 THEN 0
+            ELSE (n_tokens - n_distinct) * 1000000 // n_tokens
+       END AS rep_ppm
+FROM t ORDER BY doc_id
+"""
+
+
+def benchmark_contamination(sf_dir, n_probes=5, probe_start=10, probe_len=40):
+    """Benchmark-contamination scan (the train/eval-overlap check every
+    training-data pipeline runs): flag corpus documents containing any
+    of a small probe set of verbatim substrings. The probe set here is
+    self-referential for testability — a fixed slice of the first
+    ``n_probes`` docs — but the operator shape is the real one: probes
+    are a BOUNDED broadcast (closure-captured, bytes not a table) and
+    the scan is a vectorized non-regex ``str.contains`` per batch over
+    the streaming corpus; no shuffle, output bounded by the hit set.
+    Probes shorter than 10 chars are dropped on BOTH sides (an empty
+    probe would match everything)."""
+    docs = ops.read(sf_dir, "documents", columns=["doc_id", "text"])
+    probe_rows = docs.map_batches(
+        lambda b, _n=n_probes: b.loc[b["doc_id"] < _n],
+        batch_format="pandas",
+    ).to_pandas()  # bounded: n_probes rows
+    probes = [
+        t[probe_start : probe_start + probe_len]
+        for t in probe_rows.sort_values("doc_id")["text"]
+    ]
+    probes = [p for p in probes if len(p) >= 10]
+
+    def scan(b: pd.DataFrame, _ps=tuple(probes), _n=n_probes) -> pd.DataFrame:
+        hits = np.zeros(len(b), dtype="int64")
+        for p in _ps:
+            hits += b["text"].str.contains(p, regex=False).to_numpy()
+        out = pd.DataFrame({"doc_id": b["doc_id"], "n_hits": hits})
+        return out.loc[(out["doc_id"] >= _n) & (out["n_hits"] > 0)]
+
+    return docs.map_batches(scan, batch_format="pandas").sort("doc_id")
+
+
+CONTAMINATION_SQL = """
+WITH p AS (
+  SELECT substr(text, 11, 40) AS probe FROM documents
+  WHERE doc_id < 5 AND length(substr(text, 11, 40)) >= 10
+)
+SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+FROM documents d JOIN p ON contains(d.text, p.probe)
+WHERE d.doc_id >= 5
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def pack_documents(sf_dir, budget=512):
+    """GPT-style sequence packing with document concatenation: lay the
+    corpus out as one token stream in doc_id order and cut it into
+    fixed-``budget`` training sequences (docs may span a cut — the
+    standard causal-LM packing layout). Per doc this needs its global
+    START OFFSET in the stream = the exclusive running sum of token
+    counts in the total order — ops.with_running_sum (ONE
+    range-partitioned sort, then per-block scalar-sum offsets; no
+    second exchange). pack_id = start // budget, pack_off = start %
+    budget, all exact int64."""
+    docs = ops.read(sf_dir, "documents", columns=["doc_id", "text"])
+    counted = docs.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "doc_id": b["doc_id"],
+                "n_tokens": b["text"]
+                .fillna("")
+                .str.count(r"\S+")
+                .astype("int64"),
+            }
+        ),
+        batch_format="pandas",
+    )
+    stamped = ops.with_running_sum(
+        counted, "doc_id", "n_tokens", out_col="__start"
+    )
+
+    def finish(b: pd.DataFrame, _budget=budget) -> pd.DataFrame:
+        s = b["__start"].to_numpy()
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"],
+                "n_tokens": b["n_tokens"],
+                "pack_id": s // _budget,
+                "pack_off": s % _budget,
+            }
+        )
+
+    return stamped.map_batches(finish, batch_format="pandas").sort("doc_id")
+
+
+PACK_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+  FROM t
+)
+SELECT doc_id, n_tokens, s // 512 AS pack_id, s % 512 AS pack_off
+FROM c ORDER BY doc_id
+"""
+
+
+def kmeans_embeddings(sf_dir):
+    """Distributed spherical k-means over the embeddings table
+    (ann.kmeans — bounded seeded init, one streaming pass per Lloyd
+    iteration with fixed k×d partials). Returns the per-cluster
+    (cluster, n, inertia) summary — deterministic for a fixed seed.
+    Iterative fixpoint → genuinely non-SQL-expressible (no oracle);
+    correctness is pinned by the planted-label purity test."""
+    emb = ops.read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    _, stats = ann.kmeans(emb, k=10, iters=6, seed=11)
+    return stats
+
+
 def dedup_exact_docs(sf_dir):
     docs = ops.read(sf_dir, "documents", columns=["doc_id", "text"])
     return dedup.exact_dedup(docs)
@@ -3902,6 +4067,10 @@ QUERIES = {
     "order_price_quantiles": order_price_quantiles,
     "segment_distinct_customers": segment_distinct_customers,
     "doc_token_stats": doc_token_stats,
+    "doc_repetition": doc_repetition,
+    "benchmark_contamination": benchmark_contamination,
+    "pack_documents": pack_documents,
+    "kmeans_embeddings": kmeans_embeddings,
     "dedup_exact_docs": dedup_exact_docs,
     "doc_quality": doc_quality,
     "lang_id": lang_id,
@@ -3979,6 +4148,9 @@ ORACLES = {
     "order_price_quantiles": QUANTILES_SQL,
     "segment_distinct_customers": DISTINCT_SQL,
     "doc_token_stats": TOKEN_STATS_SQL,
+    "doc_repetition": DOC_REPETITION_SQL,
+    "benchmark_contamination": CONTAMINATION_SQL,
+    "pack_documents": PACK_SQL,
     "dedup_exact_docs": DEDUP_EXACT_SQL,
     "ngram_jaccard_pairs": NGRAM_JACCARD_SQL,
     "doc_quality": DOC_QUALITY_SQL,
