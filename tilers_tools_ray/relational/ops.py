@@ -133,6 +133,22 @@ def drop_empty_blocks(ds, normalize=False):
     return rd.from_arrow_refs(refs)
 
 
+def join_partitions_for(n_rows, rows_per_partition=500_000, floor=4):
+    """Partition count for a hash join sized to the DATA, not the
+    cluster: ~``rows_per_partition`` joined rows per reduce partition
+    keeps each reduce task's memory bounded; the floor keeps tiny
+    joins parallel; :func:`_cap_join_partitions` bounds the result at
+    cluster CPUs (the deadlock cap). Hash-shuffle actor startup costs
+    ~0.1–0.15 s PER PARTITION on Ray 2.49 (measured: the same
+    600k×150k join runs 5.7 s at 32 partitions, 2.6 s at 4 — identical
+    output), so oversizing partitions at small inputs bills pure
+    fixed cost; at the 100 TB target the CPU cap dominates and
+    partition count tracks the cluster. ``n_rows`` is the estimated
+    TOTAL rows entering the join (both sides; a pre-filter upper
+    bound from parquet metadata via :func:`table_rows` is fine)."""
+    return _cap_join_partitions(max(floor, int(n_rows // rows_per_partition)))
+
+
 def hash_join(
     left_ds, right_ds, on, right_on=None, how="inner", num_partitions=32
 ):

@@ -269,7 +269,9 @@ def q5_nation_revenue(sf_dir, broadcast_limit=5_000_000):
         orders_n.select_columns(["o_orderkey", "n_name"]),
         on="l_orderkey",
         right_on="o_orderkey",
-        num_partitions=16,
+        num_partitions=ops.join_partitions_for(
+            ops.table_rows(sf_dir, "lineitem") + ops.table_rows(sf_dir, "orders")
+        ),
     )
     df = ops.preagg_sum_count_df(
         joined, ["n_name"], ["revenue"], count_alias="n_items"
@@ -343,7 +345,9 @@ def q10_returned_items(sf_dir):
     orders = ops.read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
     joined = ops.hash_join(
         partials, orders, on="l_orderkey", right_on="o_orderkey",
-        num_partitions=16,
+        num_partitions=ops.join_partitions_for(
+            ops.table_rows(sf_dir, "lineitem") + ops.table_rows(sf_dir, "orders")
+        ),
     )
     # customer reduce + per-bucket partial top-20: coarse-key by
     # hash(custkey) so each customer lands wholly in one group and the
@@ -1484,6 +1488,8 @@ def orders_events_daily_outer(sf_dir):
         ops.drop_empty_blocks(e_day),
         on="d",
         how="full_outer",
+        num_partitions=4,  # day-keyed: both sides are already ≤ a few
+        # thousand grouped rows — floor partitions, no actor fan-out
     ).to_pandas()  # calendar-bounded result
     out = pd.DataFrame(
         {
@@ -1774,7 +1780,12 @@ def q12_priority_by_returnflag(sf_dir):
         batch_format="pandas",
     )
     orders = ops.read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
-    j = ops.hash_join(li, orders, on="l_orderkey", right_on="o_orderkey")
+    j = ops.hash_join(
+        li, orders, on="l_orderkey", right_on="o_orderkey",
+        num_partitions=ops.join_partitions_for(
+            ops.table_rows(sf_dir, "lineitem") + ops.table_rows(sf_dir, "orders")
+        ),
+    )
 
     def enrich(b: pd.DataFrame) -> pd.DataFrame:
         hi = b["o_orderpriority"].isin(["1-URGENT", "2-HIGH"])
@@ -2020,7 +2031,9 @@ def q7_nation_trade_volume(sf_dir, broadcast_limit=5_000_000):
         ops.read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]),
         on="l_orderkey",
         right_on="o_orderkey",
-        num_partitions=16,
+        num_partitions=ops.join_partitions_for(
+            ops.table_rows(sf_dir, "lineitem") + ops.table_rows(sf_dir, "orders")
+        ),
     )
     j = ops.dim_join(
         j, cust, on="o_custkey", right_on="c_custkey",
@@ -2145,7 +2158,9 @@ def q8_market_share(sf_dir, broadcast_limit=5_000_000):
     li = li.map_batches(rev_prep, batch_format="pandas")
     j = ops.hash_join(
         li, orders.select_columns(["o_orderkey", "o_year"]),
-        on="l_orderkey", right_on="o_orderkey", num_partitions=16,
+        on="l_orderkey", right_on="o_orderkey", num_partitions=ops.join_partitions_for(
+            ops.table_rows(sf_dir, "lineitem") + ops.table_rows(sf_dir, "orders")
+        ),
     )
     df = ops.preagg_sum_count_df(j, ["o_year"], ["rev", "num"], "__n")
     out = pd.DataFrame(
