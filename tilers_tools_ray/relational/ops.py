@@ -1053,7 +1053,8 @@ def anti_join(
         import ray
 
         keys = right_keys_ds.select_columns([right_on]).materialize()
-        bitmap, pow_ = build_bloom(keys, right_on, keys.count())
+        n_keys = keys.count()
+        bitmap, pow_ = build_bloom(keys, right_on, n_keys)
         bm_ref = ray.put(bitmap)
 
         def tag(b: pd.DataFrame) -> pd.DataFrame:
@@ -1080,10 +1081,14 @@ def anti_join(
             lambda b: b[b["__bh"]].drop(columns="__bh"),
             batch_format="pandas",
         ).materialize()
-        if hits.count() == 0:  # nothing can match — the join would
+        n_hits = hits.count()
+        if n_hits == 0:  # nothing can match — the join would
             # see an all-empty left (schema-starvation hazard)
             return passthrough
         left_ds = drop_empty_blocks(hits, normalize=True)
+        # both join-side counts are in hand here — size the shuffle to
+        # the data (hash-shuffle actors bill ~0.1 s/partition fixed)
+        num_partitions = join_partitions_for(n_hits + n_keys)
     j = left_ds.join(
         marked,
         "left_outer",

@@ -2276,18 +2276,26 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
-def q11_important_parts(sf_dir, threshold_frac=0.00075):
+def q11_important_parts(sf_dir):
     """TPC-H Q11 shape (adapted — no partsupp table): per-part revenue
-    value with a HAVING-against-global-total filter. Part keys are
+    value with a HAVING-against-a-global-aggregate filter — parts
+    whose value exceeds 1.2× the per-part AVERAGE. Part keys are
     SF-proportional (10⁹ at the 100 TB target), so the grouped sum runs
     through ops.grouped_sum_cb (per-batch partials → ONE coarse-bucket
-    shuffle, never a per-key grouped aggregate); the global total is a
-    distributed scalar sum over the already-tiny grouped output. The
-    result is bounded BY CONSTRUCTION: values sum to the total, so at
-    most 1/threshold_frac (~1,333) rows can exceed
-    ``threshold_frac * total`` — the driver-side collect is O(1) in SF.
-    Upstream has no relational layer (tiles_convert.py::TileSet is
-    key/value only); this is the J5/A-series graft contract."""
+    shuffle, never a per-key grouped aggregate); the average comes from
+    a distributed sum + count over the already-shrunk grouped output.
+    The threshold is an EXACT integer: ``v > 1.2·total/n ⇔
+    v > ⌊6·total // (5·n)⌋`` for integer v, computed in unbounded
+    Python ints on the driver so the per-row compare is a plain int64
+    ``>`` with no overflow or float boundary. The average-relative form
+    (vs a fixed fraction of the total) keeps the result non-degenerate
+    at EVERY scale — with a fixed fraction the qualifying set empties
+    as part count grows (measured: 200→0 rows from sf0.001→sf0.1).
+    Like TPC-H's own Q11 the result is part-count-proportional
+    (~17% of keys at the tested skew); at the 100 TB target the final
+    collect becomes a write_parquet sink. Upstream has no relational
+    layer (tiles_convert.py::TileSet is key/value only); this is the
+    J5/A-series graft contract."""
     li = ops.read(sf_dir, "lineitem", columns=["l_partkey", "l_extendedprice"])
 
     def cents(b: pd.DataFrame) -> pd.DataFrame:
@@ -2304,14 +2312,23 @@ def q11_important_parts(sf_dir, threshold_frac=0.00075):
     per_part = ops.grouped_sum_cb(
         li.map_batches(cents, batch_format="pandas"),
         ["l_partkey"], ["value_cents"],
-    ).materialize()  # consumed by sum() + the threshold filter
+    ).materialize()  # consumed by sum() + count() + the filter
     total = int(per_part.sum("value_cents"))
-    thr = total * threshold_frac  # float, DuckDB's op order
+    n = per_part.count()
+    thr = (6 * total) // (5 * n) if n else 0  # v > 1.2·avg, exact
 
     def keep(b: pd.DataFrame) -> pd.DataFrame:
         return b[b["value_cents"].to_numpy() > thr]
 
     out = per_part.map_batches(keep, batch_format="pandas").to_pandas()
+    if "l_partkey" not in out.columns:  # all-empty collect is
+        # schema-less — rebuild the typed empty frame
+        out = pd.DataFrame(
+            {
+                "l_partkey": pd.Series(dtype="int64"),
+                "value_cents": pd.Series(dtype="int64"),
+            }
+        )
     out = out.astype({"l_partkey": "int64", "value_cents": "int64"})
     return out.sort_values(
         ["value_cents", "l_partkey"], ascending=[False, True]
@@ -2326,7 +2343,7 @@ WITH pv AS (
   FROM lineitem GROUP BY l_partkey
 )
 SELECT l_partkey, value_cents FROM pv
-WHERE value_cents > (SELECT sum(value_cents) * 0.00075 FROM pv)
+WHERE value_cents > (SELECT (6 * sum(value_cents)) // (5 * count(*)) FROM pv)
 ORDER BY value_cents DESC, l_partkey
 """
 
@@ -3377,7 +3394,7 @@ FROM t ORDER BY doc_id
 """
 
 
-def benchmark_contamination(sf_dir, n_probes=5, probe_start=10, probe_len=40):
+def benchmark_contamination(sf_dir, n_probes=5, probe_start=10, probe_len=16):
     """Benchmark-contamination scan (the train/eval-overlap check every
     training-data pipeline runs): flag corpus documents containing any
     of a small probe set of verbatim substrings. The probe set here is
@@ -3387,7 +3404,9 @@ def benchmark_contamination(sf_dir, n_probes=5, probe_start=10, probe_len=40):
     the scan is a vectorized non-regex ``str.contains`` per batch over
     the streaming corpus; no shuffle, output bounded by the hit set.
     Probes shorter than 10 chars are dropped on BOTH sides (an empty
-    probe would match everything)."""
+    probe would match everything). Probe length 16 (~3 words) keeps
+    the hit set non-degenerate at every tested scale (40-char probes
+    only ever matched verbatim duplicates)."""
     docs = ops.read(sf_dir, "documents", columns=["doc_id", "text"])
     probe_rows = docs.map_batches(
         lambda b, _n=n_probes: b.loc[b["doc_id"] < _n],
@@ -3411,8 +3430,8 @@ def benchmark_contamination(sf_dir, n_probes=5, probe_start=10, probe_len=40):
 
 CONTAMINATION_SQL = """
 WITH p AS (
-  SELECT substr(text, 11, 40) AS probe FROM documents
-  WHERE doc_id < 5 AND length(substr(text, 11, 40)) >= 10
+  SELECT substr(text, 11, 16) AS probe FROM documents
+  WHERE doc_id < 5 AND length(substr(text, 11, 16)) >= 10
 )
 SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_hits
 FROM documents d JOIN p ON contains(d.text, p.probe)
