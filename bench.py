@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     "benchmark_contamination",
     "pack_documents",
     "kmeans_embeddings",
+    "zonal_image_stats",
 ]
 
 CORPUS_ROWS = {"sf0.1": 25000, "sf0.01": 2000, "sf0.001": 400}

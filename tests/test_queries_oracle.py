@@ -162,6 +162,7 @@ def test_oracle_match(registry, name):
         "dedup_clean_images",
         "parse_georef_sidecars",
         "kmeans_embeddings",
+        "zonal_image_stats",
     ],
 )
 def test_rows_only_queries_run(registry, name):

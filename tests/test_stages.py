@@ -392,3 +392,77 @@ def test_lanczos_resampling_kernel():
     v = lz[0, :, 0].astype(int)
     assert 100 <= v[32] <= 155  # x=8.0 → ~half
     assert (v[:8] <= 30).all() and (v[-8:] >= 225).all()
+
+
+def test_zonal_stats_matches_sequential(ray_session):
+    """Distributed zonal statistics ≡ a sequential from-the-spec loop
+    over the same rows (decode → ring→pixel transform → even-odd fill
+    → masked int sums), for every region, exactly."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from tilers_tools_ray import codecs, corpus
+    from tilers_tools_ray import geometry as geo
+    from tilers_tools_ray.relational import ops
+    from tilers_tools_ray.stages import spatial
+
+    paths = corpus.generate("/tmp/ttr_zonal_t1", scale="tiny", n_rows=60, seed=77)
+    imgs = pq.read_table(paths["images"])
+    cov = pq.read_table(paths["coverage"])
+
+    # sequential reference
+    acc = {}
+    cols = {c: imgs.column(c).to_pylist() for c in ("image_id", "bytes", "fmt", "w", "h", "gt", "srs")}
+    rings = [
+        (rid, np.asarray(r, dtype=np.float64))
+        for rid, r in zip(cov.column("region_id").to_pylist(), cov.column("ring_xy").to_pylist())
+    ]
+    for i in range(imgs.num_rows):
+        if cols["srs"][i] != "EPSG:3857":
+            continue
+        gt = cols["gt"][i]
+        w, h = cols["w"][i], cols["h"][i]
+        x0, x1 = gt[0], gt[0] + gt[1] * w
+        y1, y0 = gt[3], gt[3] + gt[5] * h
+        rgba = codecs.decode_image(cols["bytes"][i], cols["fmt"][i])
+        for rid, ring in rings:
+            if ring[:, 0].max() < x0 or ring[:, 0].min() > x1:
+                continue
+            if ring[:, 1].max() < y0 or ring[:, 1].min() > y1:
+                continue
+            px = np.stack(
+                [(ring[:, 0] - gt[0]) / gt[1], (ring[:, 1] - gt[3]) / gt[5]], axis=1
+            )
+            sel = (geo.fill_polygon(px, h, w) > 0) & (rgba[:, :, 3] > 0)
+            n = int(sel.sum())
+            if not n:
+                continue
+            s = acc.setdefault(rid, [0, 0, 0, 0])
+            ps = rgba[sel].astype(np.int64).sum(axis=0)
+            s[0] += n; s[1] += int(ps[0]); s[2] += int(ps[1]); s[3] += int(ps[2])
+
+    import pyarrow.compute as pc
+
+    images_ds = rd.read_parquet(
+        paths["images"], columns=["image_id", "bytes", "fmt", "w", "h", "gt", "srs"]
+    ).map_batches(
+        lambda t: t.filter(pc.equal(t.column("srs"), "EPSG:3857")),
+        batch_format="pyarrow",
+    )
+    got = (
+        ops.grouped_sum_cb(
+            spatial.zonal_stats(images_ds, cov).map_batches(
+                lambda b: b, batch_format="pandas"
+            ),
+            ["region_id"],
+            ["n_px", "sum_r", "sum_g", "sum_b"],
+        )
+        .to_pandas()
+        .sort_values("region_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(acc)
+    for _, row in got.iterrows():
+        exp = acc[row["region_id"]]
+        assert [row["n_px"], row["sum_r"], row["sum_g"], row["sum_b"]] == exp, row["region_id"]

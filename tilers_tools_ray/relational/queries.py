@@ -3929,6 +3929,54 @@ def knn_nearest_regions(sf_dir):
     return out.sort(["image_id", "rank"])
 
 
+def zonal_image_stats(sf_dir):
+    """Zonal statistics over the image corpus: per coverage polygon,
+    exact int64 pixel count + RGB sums across every EPSG:3857 image it
+    overlaps (stages/spatial.py::ZonalStats — broadcast polygons,
+    per-actor decode, even-odd fill masks shared with the cutline
+    path; batch partials fold through ONE coarse-bucket grouped sum).
+    Pixel decode is not SQL-expressible → rows-only; correctness is
+    pinned by the sequential golden-equivalence test
+    (test_zonal_stats_matches_sequential)."""
+    import ray.data as rd
+    import pyarrow.parquet as pq
+
+    from ..stages import spatial
+
+    paths = _corpus_for(sf_dir)
+    images = rd.read_parquet(
+        paths["images"],
+        columns=["image_id", "bytes", "fmt", "w", "h", "gt", "srs"],
+    ).map_batches(
+        lambda t: t.filter(
+            pa_compute_equal(t.column("srs"), "EPSG:3857")
+        ),
+        batch_format="pyarrow",
+    )
+    cov = pq.read_table(paths["coverage"])
+    partials = spatial.zonal_stats(images, cov)
+    per = (
+        ops.grouped_sum_cb(
+            partials.map_batches(lambda b: b, batch_format="pandas"),
+            ["region_id"],
+            ["n_px", "sum_r", "sum_g", "sum_b"],
+        )
+        .to_pandas()  # bounded by region count
+    )
+    per = per.astype(
+        {c: "int64" for c in ["n_px", "sum_r", "sum_g", "sum_b"]}
+    )
+    return per.sort_values("region_id").reset_index(drop=True)[
+        ["region_id", "n_px", "sum_r", "sum_g", "sum_b"]
+    ]
+
+
+def pa_compute_equal(arr, val):
+    import pyarrow.compute as pc
+
+    return pc.equal(arr, val)
+
+
 def skew_census(sf_dir):
     """§4.2 skew report (O2): the k hottest partition cells by
     projected fragment count — the census that drives the salt plan."""
@@ -4122,6 +4170,7 @@ QUERIES = {
     "tile_pyramid_stats_utm": tile_pyramid_stats_utm,
     "tile_pyramid_stats_lcc": tile_pyramid_stats_lcc,
     "skew_census": skew_census,
+    "zonal_image_stats": zonal_image_stats,
     "spatial_join_images": spatial_join_images,
     "knn_nearest_regions": knn_nearest_regions,
     "phash_dedup_images": phash_dedup_images,

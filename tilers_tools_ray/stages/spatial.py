@@ -17,6 +17,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from .. import codecs
 from .. import geometry as geo
 from .. import raster
 from .. import tilegrid as tg
@@ -160,6 +161,119 @@ def spatial_join(
         },
         batch_format="pyarrow",
         batch_size=2048,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+class ZonalStats:
+    """Raster×vector ZONAL STATISTICS partials (the classic geospatial
+    analytics reduce: per-polygon pixel aggregates over an image
+    corpus). Same broadcast discipline as :class:`SpatialJoiner`: the
+    coverage table ships once via ``ray.put``; each actor unpacks the
+    rings + bboxes ONCE in ``__init__``; every batch then decodes its
+    images (per-actor codec state, no shuffle) and rasterizes each
+    bbox-overlapping ring into the image's own pixel grid with the
+    SAME even-odd fill the cutline path uses (geometry.fill_polygon —
+    so zonal masks and cutline masks agree by construction). The batch
+    reduces to ≤ one row per region (exact int64 pixel sums) — the
+    only thing that leaves the actor; the caller folds partials with
+    a coarse-bucket grouped sum. EPSG:3857 axis-aligned affine rows
+    only (callers filter; the corpus's 4326 minority rows are skipped
+    upstream)."""
+
+    def __init__(self, coverage_ref):
+        import ray
+
+        tbl = (
+            coverage_ref
+            if isinstance(coverage_ref, pa.Table)
+            else ray.get(coverage_ref)
+        )
+        self.regions = []
+        for rid, ring in zip(
+            tbl.column("region_id").to_pylist(),
+            tbl.column("ring_xy").to_pylist(),
+        ):
+            r = np.asarray(ring, dtype=np.float64)
+            self.regions.append(
+                (
+                    rid,
+                    r,
+                    r[:, 0].min(),
+                    r[:, 1].min(),
+                    r[:, 0].max(),
+                    r[:, 1].max(),
+                )
+            )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        # codecs is imported at MODULE top on purpose: call-time
+        # intra-package imports fail on path-less workers (the
+        # register_pickle_by_value contract — see pyramid.py note)
+        ids = batch.column("image_id").to_pylist()
+        blobs = batch.column("bytes").to_pylist()
+        fmts = batch.column("fmt").to_pylist()
+        ws = batch.column("w").to_numpy()
+        hs = batch.column("h").to_numpy()
+        gts = batch.column("gt").to_pylist()
+
+        acc = {}  # region_id -> [n, sr, sg, sb]
+        for i in range(len(ids)):
+            gt = gts[i]
+            w, h = int(ws[i]), int(hs[i])
+            # image bounds in mercator (axis-aligned affine: gt[2]=gt[4]=0)
+            x0, x1 = gt[0], gt[0] + gt[1] * w
+            y1, y0 = gt[3], gt[3] + gt[5] * h  # gt[5] < 0
+            rgba = None
+            for rid, ring, rx0, ry0, rx1, ry1 in self.regions:
+                if rx1 < x0 or rx0 > x1 or ry1 < y0 or ry0 > y1:
+                    continue
+                if rgba is None:  # decode at most once per image
+                    rgba = codecs.decode_image(blobs[i], fmts[i])
+                px = np.stack(
+                    [
+                        (ring[:, 0] - gt[0]) / gt[1],
+                        (ring[:, 1] - gt[3]) / gt[5],
+                    ],
+                    axis=1,
+                )
+                mask = geo.fill_polygon(px, h, w) > 0
+                sel = mask & (rgba[:, :, 3] > 0)
+                n = int(sel.sum())
+                if n == 0:
+                    continue
+                s = acc.setdefault(rid, [0, 0, 0, 0])
+                s[0] += n
+                px_sum = rgba[sel].astype(np.int64).sum(axis=0)
+                s[1] += int(px_sum[0])
+                s[2] += int(px_sum[1])
+                s[3] += int(px_sum[2])
+
+        rids = sorted(acc)
+        return pa.table(
+            {
+                "region_id": pa.array(rids, pa.string()),
+                "n_px": pa.array([acc[r][0] for r in rids], pa.int64()),
+                "sum_r": pa.array([acc[r][1] for r in rids], pa.int64()),
+                "sum_g": pa.array([acc[r][2] for r in rids], pa.int64()),
+                "sum_b": pa.array([acc[r][3] for r in rids], pa.int64()),
+            }
+        )
+
+
+def zonal_stats(images_ds, coverage_tbl, *, concurrency=(1, 8)):
+    """Per-batch zonal partials (see :class:`ZonalStats`); callers fold
+    with a coarse-bucket grouped sum. Returns a Dataset of
+    (region_id, n_px, sum_r, sum_g, sum_b)."""
+    import ray
+
+    ref = ray.put(coverage_tbl)
+    return images_ds.map_batches(
+        ZonalStats,
+        fn_constructor_kwargs={"coverage_ref": ref},
+        batch_format="pyarrow",
+        batch_size=512,
         concurrency=concurrency,
         num_cpus=1,
     )
