@@ -466,3 +466,53 @@ def test_zonal_stats_matches_sequential(ray_session):
     for _, row in got.iterrows():
         exp = acc[row["region_id"]]
         assert [row["n_px"], row["sum_r"], row["sum_g"], row["sum_b"]] == exp, row["region_id"]
+
+
+def test_diff_tilesets(ray_session):
+    """diff_tilesets labels added/removed/changed tiles and drops
+    identical ones — verified against a pandas reference on synthetic
+    key/checksum tables, including an all-same (empty-diff) pair."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from tilers_tools_ray.pipelines import tileset
+
+    rng = np.random.default_rng(23)
+    n = 3000
+    keys = np.arange(n, dtype=np.int64)
+    z = np.full(n, 7, dtype=np.int64)
+    x, y = keys % 128, keys // 128
+    ck_a = rng.integers(0, 2**32, n)
+    a = pd.DataFrame({"tile_key": keys, "z": z, "x": x, "y": y, "checksum": ck_a})
+    # b: drop 50 (removed), add 60 new (added), change 40 checksums
+    b = a.iloc[50:].copy()
+    chg = b.index[:40]
+    b.loc[chg, "checksum"] = b.loc[chg, "checksum"] + 1
+    extra = pd.DataFrame(
+        {
+            "tile_key": np.arange(n, n + 60, dtype=np.int64),
+            "z": 7, "x": 0, "y": 0,
+            "checksum": rng.integers(0, 2**32, 60),
+        }
+    )
+    b = pd.concat([b, extra], ignore_index=True)
+
+    got = (
+        tileset.diff_tilesets(
+            rd.from_pandas(a).repartition(5), rd.from_pandas(b).repartition(4)
+        )
+        .to_pandas()
+        .sort_values("tile_key")
+        .reset_index(drop=True)
+    )
+    counts = got["status"].value_counts().to_dict()
+    assert counts == {"removed": 50, "changed": 40, "added": 60}, counts
+    assert set(got.loc[got["status"] == "removed", "tile_key"]) == set(range(50))
+    assert set(got.loc[got["status"] == "added", "tile_key"]) == set(range(n, n + 60))
+
+    # identical sets → empty diff (and the empty-bucket path is typed)
+    same = tileset.diff_tilesets(
+        rd.from_pandas(a).repartition(3), rd.from_pandas(a).repartition(6)
+    ).to_pandas()
+    assert len(same) == 0

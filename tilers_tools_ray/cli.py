@@ -154,6 +154,22 @@ def cmd_stats(args):
     print(df.to_string(index=False))
 
 
+def cmd_diff(args):
+    """Change detection between two pyramids (added/removed/changed)."""
+    _ray()
+    from .pipelines import pyramid, tileset
+
+    d = tileset.diff_tilesets(
+        pyramid.read_tiles(args.a), pyramid.read_tiles(args.b)
+    ).to_pandas()
+    if len(d) == 0:
+        print("identical tile sets")
+        return
+    d = d.sort_values(["status", "z", "x", "y"])
+    print(d.groupby("status").size().to_string())
+    print(d.head(args.limit).to_string(index=False))
+
+
 def cmd_query(args):
     """Run a registered relational/dedup/ANN/text query standalone."""
     _ray()
@@ -262,6 +278,12 @@ def build_parser():
     s = sub.add_parser("stats", help="per-zoom tile-set statistics")
     s.add_argument("--src", required=True)
     s.set_defaults(fn=cmd_stats)
+
+    df = sub.add_parser("diff", help="diff two pyramids (added/removed/changed)")
+    df.add_argument("a")
+    df.add_argument("b")
+    df.add_argument("--limit", type=int, default=20)
+    df.set_defaults(fn=cmd_diff)
 
     q = sub.add_parser(
         "query",

@@ -90,6 +90,67 @@ def merge_tilesets(tile_datasets, *, z_part_delta=4):
     )
 
 
+def diff_tilesets(a_ds, b_ds):
+    """Change detection between two tile sets (D-family: the
+    incremental-update primitive — "which tiles must be re-published
+    after a rebuild"): returns a Dataset of
+    ``(tile_key, z, x, y, status)`` with status ``added`` (in B only),
+    ``removed`` (in A only) or ``changed`` (both, checksum differs);
+    identical tiles are dropped. Plan: project both sides to the
+    5-column key+checksum view (pixels never move), tag, union, ONE
+    coarse-bucket shuffle on ``tile_key`` with the compare vectorized
+    across keys inside each group — never a per-key grouped aggregate
+    and no driver materialization, so both sets may be full pyramids."""
+    import pandas as pd
+
+
+    def project(side):
+        def fn(t: pa.Table) -> pa.Table:
+            cols = t.select(["tile_key", "z", "x", "y", "checksum"])
+            return cols.append_column(
+                "__side", pa.array([side] * len(cols), pa.int8())
+            )
+
+        return fn
+
+    u = a_ds.map_batches(project(0), batch_format="pyarrow").union(
+        b_ds.map_batches(project(1), batch_format="pyarrow")
+    ).materialize()  # counted, then one bucketed shuffle
+    from ..relational.dedup import _adaptive_coarse, _coarse_bucket
+
+    n_cb = _adaptive_coarse(u.count(), per_group_target=200_000)
+
+    def bucket(b: pd.DataFrame) -> pd.DataFrame:
+        return _coarse_bucket(b, "tile_key", n_cb)
+
+    def compare(g: pd.DataFrame) -> pd.DataFrame:
+        p = g.pivot_table(
+            index=["tile_key", "z", "x", "y"],
+            columns="__side",
+            values="checksum",
+            aggfunc="first",
+        ).reset_index()
+        a = p[0] if 0 in p.columns else pd.Series(pd.NA, index=p.index)
+        b = p[1] if 1 in p.columns else pd.Series(pd.NA, index=p.index)
+        status = np.select(
+            [a.isna(), b.isna(), a != b],
+            ["added", "removed", "changed"],
+            default="same",
+        )
+        out = p[["tile_key", "z", "x", "y"]].copy()
+        # "string" dtype (not object): an all-"same" bucket returns an
+        # EMPTY frame, and an empty object column arrives at Arrow as
+        # null-typed — breaking schema unification with string blocks
+        out["status"] = pd.array(status, dtype="string")
+        return out[out["status"] != "same"]
+
+    return (
+        u.map_batches(bucket, batch_format="pandas")
+        .groupby("__ub")
+        .map_groups(compare, batch_format="pandas")
+    )
+
+
 # ---------------------------------------------------------------------------
 # layout conversion (M9) and tree export/import (S7/S8)
 # ---------------------------------------------------------------------------
