@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "pack_documents",
     "kmeans_embeddings",
     "zonal_image_stats",
+    "image_quality_scores",
 ]
 
 CORPUS_ROWS = {"sf0.1": 25000, "sf0.01": 2000, "sf0.001": 400}

@@ -163,6 +163,7 @@ def test_oracle_match(registry, name):
         "parse_georef_sidecars",
         "kmeans_embeddings",
         "zonal_image_stats",
+        "image_quality_scores",
     ],
 )
 def test_rows_only_queries_run(registry, name):

@@ -204,3 +204,38 @@ def test_lance_source_contract():
     if not have_lance:
         with pytest.raises(ImportError, match="parquet with the identical"):
             pyramid.images_dataset("/tmp/nonexistent.lance")
+
+
+def test_image_quality_metrics(ray_session):
+    """ImageQuality property pins: a constant image has entropy 0,
+    lap_var 0, clip_frac 0 (mid-gray) or 1 (pure white); a noise image
+    scores strictly higher entropy and lap_var; metrics are exact on
+    hand-computable planes."""
+    import numpy as np
+    import pyarrow as pa
+
+    from tilers_tools_ray import codecs
+    from tilers_tools_ray.stages.multimodal import ImageQuality
+
+    def enc(rgba):
+        return codecs.encode_image(rgba, "raw")
+
+    flat = np.full((32, 32, 4), 128, dtype=np.uint8)
+    white = np.full((32, 32, 4), 255, dtype=np.uint8)
+    rng = np.random.default_rng(5)
+    noise = rng.integers(0, 256, (32, 32, 4)).astype(np.uint8)
+    batch = pa.table(
+        {
+            "image_id": pa.array(["flat", "white", "noise"], pa.string()),
+            "bytes": pa.array([enc(flat), enc(white), enc(noise)], pa.binary()),
+            "fmt": pa.array(["raw"] * 3, pa.string()),
+        }
+    )
+    out = ImageQuality()(batch).to_pandas().set_index("image_id")
+    assert out.loc["flat", "entropy"] == 0.0
+    assert out.loc["flat", "lap_var"] == 0.0
+    assert out.loc["flat", "clip_frac"] == 0.0
+    assert out.loc["white", "clip_frac"] == 1.0
+    assert out.loc["white", "entropy"] == 0.0
+    assert out.loc["noise", "entropy"] > 5.0
+    assert out.loc["noise", "lap_var"] > 100.0

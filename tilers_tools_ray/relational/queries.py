@@ -4028,6 +4028,28 @@ def dedup_clean_images(sf_dir):
     return out
 
 
+def image_quality_scores(sf_dir):
+    """Rows-only: per-image curation quality metrics (Laplacian-variance
+    blur score, luminance entropy, clipping fraction —
+    stages/multimodal.py::ImageQuality) over the engine corpus. The
+    image analogue of doc_quality; property-pinned by
+    test_image_quality_metrics (constant image ⇒ entropy 0, lap_var 0,
+    clip as constructed; noise image strictly higher on both)."""
+    from ..pipelines import pyramid
+    from ..stages import multimodal
+
+    paths = _corpus_for(sf_dir)
+    ds = pyramid.images_dataset(
+        paths["images"], columns=["image_id", "bytes", "fmt"]
+    )
+    out = ds.map_batches(
+        multimodal.ImageQuality(),  # stateless → task stage
+        batch_format="pyarrow",
+        batch_size=128,
+    )
+    return out.to_pandas().sort_values("image_id").reset_index(drop=True)
+
+
 def multimodal_image_features(sf_dir):
     """Rows-only: the multimodal actor-pool stage chain over the
     engine corpus — resize (decode → box-downsample → re-encode) then
@@ -4177,6 +4199,7 @@ QUERIES = {
     "phash_near_dup_images": phash_near_dup_images,
     "dedup_clean_images": dedup_clean_images,
     "multimodal_image_features": multimodal_image_features,
+    "image_quality_scores": image_quality_scores,
     "parse_georef_sidecars": parse_georef_sidecars,
 }
 

@@ -87,6 +87,60 @@ class ImageFeatures:
         )
 
 
+class ImageQuality:
+    """Image QUALITY scoring for corpus curation — the image analogue
+    of text.QualityScorer (blur / information-content / clipping
+    signals a training-data pipeline filters on):
+
+      lap_var   — variance of the 4-neighbour Laplacian of the
+                  luminance plane (the classic blur detector: low ⇒
+                  defocused/flat);
+      entropy   — Shannon entropy (bits) of the 256-bin luminance
+                  histogram (low ⇒ near-constant image);
+      clip_frac — fraction of luminance pixels at 0 or 255 (high ⇒
+                  over/under-exposed).
+
+    Stateless per batch, decode once per image, all metrics are
+    vectorized numpy over the pixel plane; one small row per image
+    leaves the actor."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("image_id").to_pylist()
+        ent, lap, clip = [], [], []
+        for blob, fmt in zip(
+            batch.column("bytes").to_pylist(), batch.column("fmt").to_pylist()
+        ):
+            px = codecs.decode_image(blob, fmt)
+            gray = (
+                0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]
+            )
+            g = gray.astype(np.float64)
+            l4 = (
+                -4.0 * g[1:-1, 1:-1]
+                + g[:-2, 1:-1]
+                + g[2:, 1:-1]
+                + g[1:-1, :-2]
+                + g[1:-1, 2:]
+            )
+            lap.append(float(l4.var()) if l4.size else 0.0)
+            hist = np.bincount(
+                np.clip(np.round(gray), 0, 255).astype(np.int64).ravel(),
+                minlength=256,
+            )
+            p = hist[hist > 0] / gray.size
+            ent.append(float(-(p * np.log2(p)).sum()))
+            gi = np.round(gray)
+            clip.append(float(((gi <= 0) | (gi >= 255)).mean()))
+        return pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "entropy": pa.array(np.round(ent, 6), pa.float64()),
+                "lap_var": pa.array(np.round(lap, 4), pa.float64()),
+                "clip_frac": pa.array(np.round(clip, 6), pa.float64()),
+            }
+        )
+
+
 def _seeded_rng(blob):
     h = hashlib.md5(blob[:64] if blob else b"").digest()
     return np.random.default_rng(int.from_bytes(h[:8], "little"))
