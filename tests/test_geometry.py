@@ -162,3 +162,25 @@ def test_bicubic_smooth_between_pixels():
     # between pixel centers 3 and 4 → strictly between the two values
     assert out[0, 1, 0] == 0
     assert 0 < out[0, 2, 0] < 200
+
+
+def test_fill_polygon_fast_equals_reference():
+    """fill_polygon_fast (vectorized 2-crossing path + loop fallback)
+    is bit-identical to the golden fill_polygon across random rings,
+    including rings extending past the image on every side (the
+    off-image span class that exposed the negative-slice wrap bug)."""
+    import numpy as np
+
+    from tilers_tools_ray import geometry as geo
+
+    rng = np.random.default_rng(31)
+    for _ in range(200):
+        n = int(rng.integers(3, 10))
+        ring = rng.uniform(-80, 336, (n, 2))
+        a = geo.fill_polygon(ring, 256, 256)
+        b = geo.fill_polygon_fast(ring, 256, 256)
+        assert np.array_equal(a, b)
+    # fully off-image ring fills nothing
+    far = np.array([[-50.0, -50.0], [-10.0, -50.0], [-10.0, -10.0]])
+    assert geo.fill_polygon(far, 64, 64).sum() == 0
+    assert geo.fill_polygon_fast(far, 64, 64).sum() == 0

@@ -447,7 +447,61 @@ def fill_polygon(ring, h, w, ss=1):
         for j in range(0, len(xint) - 1, 2):
             a = int(np.ceil(xint[j] - 0.5))
             b = int(np.floor(xint[j + 1] - 0.5))
-            if b >= a:
+            # b >= 0 / a < w: a span entirely OFF-image must fill
+            # nothing — without the b >= 0 guard a negative b+1 slice
+            # end WRAPS and floods the row (latent until zonal rings,
+            # which legitimately extend past the image, first hit it;
+            # cutline rings are always in-image so golden byte-equality
+            # is unaffected)
+            if b >= a and b >= 0 and a < w:
+                mask[r, max(a, 0) : min(b + 1, w)] = 255
+    return mask
+
+
+def fill_polygon_fast(ring, h, w):
+    """Vectorized even-odd fill, bit-identical to :func:`fill_polygon`
+    (property-tested): the edge×row intersection matrix is computed in
+    one broadcast, rows with exactly TWO crossings — the overwhelming
+    case for the convex-ish coverage rings — become a single pair of
+    column-index comparisons over the whole (h, w) plane, and only
+    rows with >2 crossings fall back to the scalar pair loop.
+    fill_polygon stays the from-the-spec golden reference (cutline
+    byte-equality); this is the hot-path twin for per-batch zonal
+    masks where the fill runs once per (image, region) pair."""
+    ring = np.asarray(ring, dtype=np.float64)
+    mask = np.zeros((h, w), dtype=np.uint8)
+    x0, y0 = ring[:, 0], ring[:, 1]
+    x1, y1 = np.roll(x0, -1), np.roll(y0, -1)
+    ys = np.arange(h, dtype=np.float64) + 0.5  # pixel-center scanlines
+    # crossing test per (edge, row): (y0 > y) != (y1 > y)
+    c = (y0[:, None] > ys[None, :]) != (y1[:, None] > ys[None, :])
+    n_cross = c.sum(axis=0)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xint_all = x0[:, None] + (ys[None, :] - y0[:, None]) * (
+            (x1 - x0)[:, None] / (y1 - y0)[:, None]
+        )
+    cols = np.arange(w, dtype=np.float64)
+
+    two = n_cross == 2
+    if two.any():
+        # extract the two crossings per qualifying row, vectorized:
+        # mask non-crossing entries to ±inf and take min/max
+        xm = np.where(c[:, two], xint_all[:, two], np.inf)
+        lo = xm.min(axis=0)
+        xm = np.where(c[:, two], xint_all[:, two], -np.inf)
+        hi = xm.max(axis=0)
+        a = np.ceil(lo - 0.5)  # same snap as fill_polygon
+        b = np.floor(hi - 0.5)
+        sel = (cols[None, :] >= a[:, None]) & (cols[None, :] <= b[:, None])
+        mask[two] = sel.astype(np.uint8) * 255
+
+    odd_rows = np.flatnonzero((n_cross > 2))
+    for r in odd_rows:
+        xint = np.sort(xint_all[c[:, r], r])
+        for j in range(0, len(xint) - 1, 2):
+            a = int(np.ceil(xint[j] - 0.5))
+            b = int(np.floor(xint[j + 1] - 0.5))
+            if b >= a and b >= 0 and a < w:  # same off-image guard
                 mask[r, max(a, 0) : min(b + 1, w)] = 255
     return mask
 

@@ -238,7 +238,7 @@ class ZonalStats:
                     ],
                     axis=1,
                 )
-                mask = geo.fill_polygon(px, h, w) > 0
+                mask = geo.fill_polygon_fast(px, h, w) > 0
                 sel = mask & (rgba[:, :, 3] > 0)
                 n = int(sel.sum())
                 if n == 0:
