@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "kmeans_embeddings",
     "zonal_image_stats",
     "image_quality_scores",
+    "user_retention_cohorts",
 ]
 
 CORPUS_ROWS = {"sf0.1": 25000, "sf0.01": 2000, "sf0.001": 400}

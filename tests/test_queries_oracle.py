@@ -124,6 +124,7 @@ def test_entry_smoke(ray_session):
         "doc_repetition",
         "benchmark_contamination",
         "pack_documents",
+        "user_retention_cohorts",
     ],
 )
 def test_oracle_match(registry, name):

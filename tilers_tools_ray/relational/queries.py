@@ -2899,6 +2899,86 @@ def _user_bucketed(ev):
     return ev.map_batches(key, batch_format="pandas").groupby("__ub")
 
 
+def user_retention_cohorts(sf_dir, broadcast_limit=5_000_000):
+    """Retention-cohort matrix (the product-analytics staple): users
+    cohorted by FIRST-event day, counted distinct per (cohort_day,
+    day_offset) of later activity. User keys are SF-proportional, so
+    first-touch is ops.grouped_min_cb over epoch-int64 timestamps
+    (per-batch partial mins → ONE coarse-bucket fold — never a per-key
+    grouped aggregate), the join-back is the size-guarded dim_join,
+    and the (user, cohort, offset) dedup + count run as distinct_cb →
+    grouped_sum_cb. Result is bounded by cohort-days × offset-days,
+    not by users."""
+    ev = ops.read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def to_day(b: pd.DataFrame) -> pd.DataFrame:
+        # datetime64 → whole days since epoch, unit-agnostic (parquet
+        # timestamps may be us or ns); day() is monotone, so
+        # min(day(ts)) ≡ day(min(ts)) ≡ SQL CAST(min(ts) AS DATE)
+        return pd.DataFrame(
+            {
+                "user_id": b["user_id"],
+                "day": b["ts"]
+                .to_numpy()
+                .astype("datetime64[D]")
+                .astype("int64"),
+            }
+        )
+
+    days = ev.map_batches(to_day, batch_format="pandas")
+    first = ops.grouped_min_cb(days, ["user_id"], ["day"]).map_batches(
+        lambda b: b.rename(columns={"day": "cohort_day"}),
+        batch_format="pandas",
+    )
+    j = ops.dim_join(
+        days, first, on="user_id", broadcast_limit=broadcast_limit
+    )
+
+    def offsets(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": b["user_id"],
+                "cohort_day": b["cohort_day"].astype("int64"),
+                "day_offset": (
+                    b["day"].to_numpy() - b["cohort_day"].to_numpy()
+                ).astype("int64"),
+            }
+        )
+
+    cells = ops.distinct_cb(
+        j.map_batches(offsets, batch_format="pandas"),
+        ["user_id", "cohort_day", "day_offset"],
+    )
+    out = ops.grouped_sum_cb(
+        cells, ["cohort_day", "day_offset"], [], count_alias="n_users"
+    ).to_pandas()  # bounded: cohort-days × offsets
+    out["cohort_day"] = (
+        pd.to_datetime(out["cohort_day"].astype("int64"), unit="D")
+        .dt.strftime("%Y-%m-%d")
+    )
+    out = out.astype({"day_offset": "int64", "n_users": "int64"})
+    return (
+        out.sort_values(["cohort_day", "day_offset"]).reset_index(drop=True)[
+            ["cohort_day", "day_offset", "n_users"]
+        ]
+    )
+
+
+RETENTION_SQL = """
+WITH f AS (
+  SELECT user_id, CAST(min(ts) AS DATE) AS cohort_day FROM events GROUP BY 1
+), a AS (
+  SELECT DISTINCT e.user_id, f.cohort_day,
+         date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) AS day_offset
+  FROM events e JOIN f USING (user_id)
+)
+SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+       CAST(day_offset AS BIGINT) AS day_offset,
+       count(*) AS n_users
+FROM a GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def events_sessionize(sf_dir):
     """Session windows per user: new session when the gap to the
     previous event exceeds 30 min (ray_guide.md 'Streaming-shaped
@@ -4140,6 +4220,7 @@ QUERIES = {
     "segment_stats": segment_stats,
     "events_hourly": events_hourly,
     "events_sessionize": events_sessionize,
+    "user_retention_cohorts": user_retention_cohorts,
     "events_sliding_window": events_sliding_window,
     "events_asof_last_click": events_asof_last_click,
     "customer_order_windows": customer_order_windows,
@@ -4218,6 +4299,7 @@ ORACLES = {
     "segment_stats": SEGMENT_SQL,
     "events_hourly": EVENTS_HOURLY_SQL,
     "events_sessionize": SESSIONIZE_SQL,
+    "user_retention_cohorts": RETENTION_SQL,
     "events_sliding_window": SLIDING_SQL,
     "events_asof_last_click": ASOF_SQL,
     "customer_order_windows": WINDOWS_SQL,
