@@ -97,6 +97,7 @@ BENCH_QUERIES = [
     "zonal_image_stats",
     "image_quality_scores",
     "user_retention_cohorts",
+    "event_funnel",
 ]
 
 CORPUS_ROWS = {"sf0.1": 25000, "sf0.01": 2000, "sf0.001": 400}

@@ -125,6 +125,7 @@ def test_entry_smoke(ray_session):
         "benchmark_contamination",
         "pack_documents",
         "user_retention_cohorts",
+        "event_funnel",
     ],
 )
 def test_oracle_match(registry, name):

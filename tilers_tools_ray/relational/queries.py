@@ -2964,6 +2964,91 @@ def user_retention_cohorts(sf_dir, broadcast_limit=5_000_000):
     )
 
 
+def event_funnel(sf_dir, broadcast_limit=5_000_000, window_h=6):
+    """Ordered-funnel analysis (view → click → purchase) with a
+    conversion window: per user, the first 'view', the first 'click'
+    within ``window_h`` hours AFTER it, then the first 'purchase'
+    within the window after that click; report users surviving each
+    stage (the window is what makes the funnel discriminate — without
+    it every active user converts eventually). Each stage is the same
+    scale-safe pair — a size-guarded dim_join of the candidate events
+    onto the previous stage's first-touch table, a vectorized
+    in-window filter, then ops.grouped_min_cb at user cardinality —
+    so the funnel never materializes per-user event lists anywhere.
+    Timestamps are normalized to int64 NANOSECONDS on both sides
+    (unit-agnostic vs parquet us/ns). Output is 3 tiny rows
+    (stage, n_users)."""
+    ev = ops.read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+
+    def typed(kind):
+        def fn(b: pd.DataFrame) -> pd.DataFrame:
+            v = b.loc[b["event_type"] == kind]
+            return pd.DataFrame(
+                {
+                    "user_id": v["user_id"],
+                    # normalize to ns regardless of parquet unit
+                    "t": v["ts"]
+                    .to_numpy()
+                    .astype("datetime64[ns]")
+                    .astype("int64"),
+                }
+            )
+
+        return fn
+
+    ev = ev.materialize()  # three typed scans below share one read
+    win_ns = np.int64(window_h) * 3_600_000_000_000
+    stage_counts = []
+    prev = None  # Dataset (user_id, t_prev)
+    for kind in ("view", "click", "purchase"):
+        cand = ev.map_batches(typed(kind), batch_format="pandas")
+        if prev is not None:
+            cand = ops.dim_join(
+                cand, prev, on="user_id", broadcast_limit=broadcast_limit
+            ).map_batches(
+                lambda b, _w=win_ns: b.loc[
+                    (b["t"].to_numpy() > b["t_prev"].to_numpy())
+                    & (b["t"].to_numpy() <= b["t_prev"].to_numpy() + _w),
+                    ["user_id", "t"],
+                ],
+                batch_format="pandas",
+            )
+        first = ops.grouped_min_cb(cand, ["user_id"], ["t"]).materialize()
+        stage_counts.append(first.count())
+        prev = first.map_batches(
+            lambda b: b.rename(columns={"t": "t_prev"}),
+            batch_format="pandas",
+        )
+    return pd.DataFrame(
+        {
+            "stage": ["1_view", "2_click", "3_purchase"],
+            "n_users": pd.array(stage_counts, dtype="int64"),
+        }
+    )
+
+
+FUNNEL_SQL = """
+WITH v AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY 1
+), c AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > v.t1
+    AND e.ts <= v.t1 + INTERVAL 6 HOUR GROUP BY 1
+), p AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > c.t2
+    AND e.ts <= c.t2 + INTERVAL 6 HOUR GROUP BY 1
+)
+SELECT '1_view' AS stage, (SELECT count(*) FROM v) AS n_users
+UNION ALL SELECT '2_click', (SELECT count(*) FROM c)
+UNION ALL SELECT '3_purchase', (SELECT count(*) FROM p)
+ORDER BY stage
+"""
+
+
 RETENTION_SQL = """
 WITH f AS (
   SELECT user_id, CAST(min(ts) AS DATE) AS cohort_day FROM events GROUP BY 1
@@ -4221,6 +4306,7 @@ QUERIES = {
     "events_hourly": events_hourly,
     "events_sessionize": events_sessionize,
     "user_retention_cohorts": user_retention_cohorts,
+    "event_funnel": event_funnel,
     "events_sliding_window": events_sliding_window,
     "events_asof_last_click": events_asof_last_click,
     "customer_order_windows": customer_order_windows,
@@ -4300,6 +4386,7 @@ ORACLES = {
     "events_hourly": EVENTS_HOURLY_SQL,
     "events_sessionize": SESSIONIZE_SQL,
     "user_retention_cohorts": RETENTION_SQL,
+    "event_funnel": FUNNEL_SQL,
     "events_sliding_window": SLIDING_SQL,
     "events_asof_last_click": ASOF_SQL,
     "customer_order_windows": WINDOWS_SQL,
