@@ -311,3 +311,47 @@ def test_overview_resampling_lanczos(ray_session, tiny_corpus, tmp_path):
             differs += 1
         checked += 1
     assert checked > 0 and differs > 0
+
+
+def test_on_bad_image_skip(ray_session, tmp_path):
+    """A corrupt blob must not kill the job when on_bad_image='skip':
+    the build completes and its tiles equal a build over the corpus
+    WITHOUT the bad row; the default policy still raises."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from tilers_tools_ray import corpus
+    from tilers_tools_ray.pipelines import pyramid, tileset
+
+    paths = corpus.generate(str(tmp_path / "corpus"), n_rows=20, seed=55)
+    t = pq.read_table(paths["images"])
+    # corrupt row 3's bytes (keep fmt so the decoder actually runs)
+    blobs = t.column("bytes").to_pylist()
+    blobs[3] = b"\x00corrupt\xff"
+    bad = t.set_column(
+        t.schema.get_field_index("bytes"), "bytes", pa.array(blobs, pa.binary())
+    )
+    bad_path = str(tmp_path / "bad.parquet")
+    pq.write_table(bad, bad_path)
+    clean = t.take([i for i in range(t.num_rows) if i != 3])
+    clean_path = str(tmp_path / "clean.parquet")
+    pq.write_table(clean, clean_path)
+
+    with pytest.raises(Exception):
+        pyramid.write_pyramid(
+            bad_path, str(tmp_path / "pyr_raise"), z_min=6, salt=False
+        )
+
+    pyramid.write_pyramid(
+        bad_path, str(tmp_path / "pyr_skip"), z_min=6, salt=False,
+        on_bad_image="skip",
+    )
+    pyramid.write_pyramid(
+        clean_path, str(tmp_path / "pyr_clean"), z_min=6, salt=False
+    )
+    d = tileset.diff_tilesets(
+        pyramid.read_tiles(str(tmp_path / "pyr_skip")),
+        pyramid.read_tiles(str(tmp_path / "pyr_clean")),
+    ).to_pandas()
+    assert len(d) == 0, d.head()

@@ -204,6 +204,7 @@ def fragments_dataset(
     batch_size=32,
     concurrency=None,
     profile="mercator",
+    on_bad="raise",
 ):
     """images → fragment rows (the pre-shuffle fan-out stage)."""
     import ray
@@ -236,6 +237,7 @@ def fragments_dataset(
         "n_zorder": n_zorder,
         "done_parts": done_ref,
         "profile": profile,
+        "on_bad": on_bad,
     }
     if _ncpu_total <= 1:
         # 1-CPU cluster: a 1-actor pool would hold the ONLY cpu ahead
@@ -400,6 +402,7 @@ def write_pyramid(
     concurrency=None,
     profile="mercator",
     overview_resampling="box",
+    on_bad_image="raise",
 ):
     """Full checkpointed pyramid build. Returns the job summary (A5).
 
@@ -460,6 +463,7 @@ def write_pyramid(
             batch_size=batch_size,
             concurrency=concurrency,
             profile=profile,
+            on_bad=on_bad_image,
         )
         if salt_plan:
             partials = frags.groupby(["part", "salt"]).map_groups(

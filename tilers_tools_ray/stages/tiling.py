@@ -126,6 +126,7 @@ class FragmentEmitter:
         n_zorder=1,
         done_parts=None,
         profile="mercator",
+        on_bad="raise",
     ):
         self.z_base = int(z_base)
         self.z_part = int(z_part)
@@ -134,6 +135,11 @@ class FragmentEmitter:
         self.n_zorder = max(int(n_zorder), 1)
         self.done_parts = _maybe_get(done_parts) or frozenset()
         self.profile = profile
+        # "raise" (default) fails the job on a corrupt row; "skip"
+        # drops the image whole (per-image buffering below guarantees
+        # no partial fragments) and logs it — at the 100 TB target a
+        # handful of corrupt blobs must not kill a multi-hour job
+        self.on_bad = on_bad
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = {k: [] for k in FRAGMENT_SCHEMA.names}
@@ -160,23 +166,39 @@ class FragmentEmitter:
         )
         shift = self.z_base - self.z_part
         for i in range(batch.num_rows):
-            gt = np.asarray(cols["gt"][i], dtype=np.float64)
-            srs = cols["srs"][i]
-            zo = int(cols["zorder"][i])
-            for z, x, y, frag in self._fragments(cols, i, gt, srs):
-                key = int(tg.pack_key(z, x, y))
-                part = int(tg.pack_key(self.z_part, x >> shift, y >> shift))
-                if part in self.done_parts:
-                    continue
-                s = self.salt_plan.get(part, 1)
-                salt = zo * s // self.n_zorder if s > 1 else 0
-                out["part"].append(part)
-                out["salt"].append(salt)
-                out["tile_key"].append(key)
-                out["zorder"].append(zo)
-                out["image_id"].append(cols["image_id"][i])
-                out["caption"].append(cols["caption"][i])
-                out["frag"].append(pack_pixels(frag))
+            mine = {k: [] for k in FRAGMENT_SCHEMA.names}  # per-image
+            # buffer: on a mid-image failure nothing partial is emitted
+            try:
+                gt = np.asarray(cols["gt"][i], dtype=np.float64)
+                srs = cols["srs"][i]
+                zo = int(cols["zorder"][i])
+                for z, x, y, frag in self._fragments(cols, i, gt, srs):
+                    key = int(tg.pack_key(z, x, y))
+                    part = int(
+                        tg.pack_key(self.z_part, x >> shift, y >> shift)
+                    )
+                    if part in self.done_parts:
+                        continue
+                    s = self.salt_plan.get(part, 1)
+                    salt = zo * s // self.n_zorder if s > 1 else 0
+                    mine["part"].append(part)
+                    mine["salt"].append(salt)
+                    mine["tile_key"].append(key)
+                    mine["zorder"].append(zo)
+                    mine["image_id"].append(cols["image_id"][i])
+                    mine["caption"].append(cols["caption"][i])
+                    mine["frag"].append(pack_pixels(frag))
+            except Exception as ex:
+                if self.on_bad != "skip":
+                    raise
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "skipping bad image %r: %s", cols["image_id"][i], ex
+                )
+                continue
+            for k in out:
+                out[k].extend(mine[k])
         return pa.table(out, schema=FRAGMENT_SCHEMA)
 
     def _fragments(self, cols, i, gt, srs):
