@@ -60,6 +60,7 @@ def cmd_tiler(args):
         salt="auto" if not args.no_salt else None,
         profile=profile,
         overview_resampling=args.overview_resampling,
+        on_bad_image="skip" if args.skip_bad else "raise",
     )
     print(json.dumps({str(k): v for k, v in summary.items()}, indent=1))
 
@@ -222,6 +223,11 @@ def build_parser():
         help="box = antialias-equivalent 2x2 mean (default); "
         "bilinear = PIL-style 4-tap tent; lanczos = 12-tap "
         "scaled Lanczos-3",
+    )
+    t.add_argument(
+        "--skip-bad",
+        action="store_true",
+        help="drop undecodable images (logged) instead of failing the job",
     )
     t.add_argument(
         "--profile",
