@@ -2475,7 +2475,7 @@ def q2_min_cost_supplier(sf_dir, broadcast_limit=5_000_000):
     filters run before any exchange, so only slice×EUROPE lineitem rows
     ever enter a shuffle. The final sort+LIMIT runs driver-side on the
     argmin winner set, which is bounded by the slice cardinality
-    (~0.4 % of part keys), not by lineitem."""
+    (p_size 10–20 × PROMO ≈ 4 % of part keys), not by lineitem."""
     part_slice = ops.read(
         sf_dir, "part", columns=["p_partkey", "p_size", "p_type"]
     ).map_batches(
