@@ -1272,6 +1272,7 @@ def dim_join(
     broadcast_limit=5_000_000,
     num_partitions=32,
     bloom=True,
+    right_rows_bound=None,
 ):
     """Size-GUARDED dimension join: count the right side first, then
     either broadcast it (≤ ``broadcast_limit`` rows — ship once via
@@ -1295,8 +1296,27 @@ def dim_join(
     ``right_on`` names the right side's key when it differs from the
     left's; the output carries left columns + right non-key columns
     under EITHER path (the right key column never survives). Returns a
+    ``right_rows_bound`` is an optional UPPER BOUND on the right
+    side's rows that the caller already knows WITHOUT executing it —
+    typically :func:`table_rows` parquet metadata for the dim table a
+    slice was filtered from. When the bound fits the broadcast limit
+    the materialize+count barrier is skipped entirely (the collect is
+    the single execution); the bound scales with SF, so at the 100 TB
+    target it exceeds the limit and the guarded path engages as
+    before.
+
     Dataset."""
     r_on = right_on or on
+    if (
+        right_rows_bound is not None
+        and right_rows_bound <= broadcast_limit
+    ):
+        rdf = right_ds.to_pandas()  # ≤ bound ≤ broadcast_limit rows
+        if rdf.shape[1] == 0:
+            rdf = _empty_frame_like(right_ds.schema())
+        if r_on != on:
+            rdf = rdf.rename(columns={r_on: on})
+        return broadcast_join(left_ds, rdf, on=on, how=how)
     right_ds = right_ds.materialize()  # counted, then collected OR joined
     n_right = right_ds.count()
     if n_right <= broadcast_limit:
@@ -1376,6 +1396,7 @@ def semi_join(
     right_on=None,
     broadcast_limit=5_000_000,
     num_partitions=32,
+    right_rows_bound=None,
 ):
     """LEFT SEMI join with the same size guard as :func:`dim_join`:
     keep rows of ``left_ds`` whose key appears in ``right_keys_ds``,
@@ -1404,6 +1425,17 @@ def semi_join(
             right_keys_ds.to_numpy()
             if isinstance(right_keys_ds, pd.Series)
             else right_keys_ds
+        )
+        return _semi_broadcast(left_ds, arr, on)
+    if (
+        right_rows_bound is not None
+        and right_rows_bound <= broadcast_limit
+    ):
+        # caller-supplied metadata bound (table_rows of the source the
+        # key slice was filtered from): skip the materialize+count
+        # barrier, collect the ≤-bound key column directly
+        arr = (
+            right_keys_ds.select_columns([r_on]).to_pandas()[r_on].to_numpy()
         )
         return _semi_broadcast(left_ds, arr, on)
     keys_ds = right_keys_ds.select_columns([r_on]).materialize()

@@ -2025,6 +2025,7 @@ def q7_nation_trade_volume(sf_dir, broadcast_limit=5_000_000):
     li = ops.dim_join(
         li, supp, on="l_suppkey", right_on="s_suppkey",
         broadcast_limit=broadcast_limit,
+        right_rows_bound=ops.table_rows(sf_dir, "supplier"),
     )
     j = ops.hash_join(
         li,
@@ -2038,6 +2039,7 @@ def q7_nation_trade_volume(sf_dir, broadcast_limit=5_000_000):
     j = ops.dim_join(
         j, cust, on="o_custkey", right_on="c_custkey",
         broadcast_limit=broadcast_limit,
+        right_rows_bound=ops.table_rows(sf_dir, "customer"),
     )
     df = ops.preagg_sum_count_df(
         j.map_batches(
@@ -2143,6 +2145,7 @@ def q8_market_share(sf_dir, broadcast_limit=5_000_000):
     li = ops.dim_join(
         li, _supplier_nations(sf_dir), on="l_suppkey", right_on="s_suppkey",
         broadcast_limit=broadcast_limit,
+        right_rows_bound=ops.table_rows(sf_dir, "supplier"),
     )
 
     def rev_prep(b: pd.DataFrame) -> pd.DataFrame:
@@ -2219,10 +2222,12 @@ def q9_product_profit(sf_dir, broadcast_limit=5_000_000):
     li = ops.dim_join(
         li, red, on="l_partkey", right_on="p_partkey",
         broadcast_limit=broadcast_limit,
+        right_rows_bound=ops.table_rows(sf_dir, "part"),
     )
     li = ops.dim_join(
         li, _supplier_nations(sf_dir), on="l_suppkey", right_on="s_suppkey",
         broadcast_limit=broadcast_limit,
+        right_rows_bound=ops.table_rows(sf_dir, "supplier"),
     )
 
     def profit_prep(b: pd.DataFrame) -> pd.DataFrame:
@@ -2522,10 +2527,12 @@ def q2_min_cost_supplier(sf_dir, broadcast_limit=5_000_000):
     li = ops.semi_join(
         li, part_slice, on="l_partkey", right_on="p_partkey",
         broadcast_limit=broadcast_limit,
+        right_rows_bound=ops.table_rows(sf_dir, "part"),
     )
     li = ops.semi_join(
         li, eur, on="l_suppkey", right_on="s_suppkey",
         broadcast_limit=broadcast_limit,
+        right_rows_bound=ops.table_rows(sf_dir, "supplier"),
     )
 
     def cents(b: pd.DataFrame) -> pd.DataFrame:
@@ -2548,7 +2555,8 @@ def q2_min_cost_supplier(sf_dir, broadcast_limit=5_000_000):
         batch_format="pandas",
     )
     winners = ops.dim_join(
-        cand, mins, on="l_partkey", broadcast_limit=broadcast_limit
+        cand, mins, on="l_partkey", broadcast_limit=broadcast_limit,
+        right_rows_bound=ops.table_rows(sf_dir, "part"),
     ).map_batches(
         lambda b: b.loc[
             b["price_cents"].to_numpy() == b["__min_cents"].to_numpy(),
@@ -2559,6 +2567,7 @@ def q2_min_cost_supplier(sf_dir, broadcast_limit=5_000_000):
     out = ops.dim_join(
         winners, eur, on="l_suppkey", right_on="s_suppkey",
         broadcast_limit=broadcast_limit,
+        right_rows_bound=ops.table_rows(sf_dir, "supplier"),
     ).to_pandas()  # bounded: ≤ ties × slice parts (see docstring)
     out = out.rename(columns={"l_partkey": "p_partkey"}).astype(
         {"p_partkey": "int64", "price_cents": "int64", "acctbal_cents": "int64"}
@@ -2701,6 +2710,7 @@ def q20_big_blue_suppliers(sf_dir, broadcast_limit=5_000_000):
     li = ops.semi_join(
         li, blue, on="l_partkey", right_on="p_partkey",
         broadcast_limit=broadcast_limit,
+        right_rows_bound=ops.table_rows(sf_dir, "part"),
     )
 
     def qty(b: pd.DataFrame) -> pd.DataFrame:
@@ -2744,6 +2754,7 @@ def q20_big_blue_suppliers(sf_dir, broadcast_limit=5_000_000):
     names = ops.dim_join(
         keep, snds, on="l_suppkey", right_on="s_suppkey",
         broadcast_limit=broadcast_limit,
+        right_rows_bound=ops.table_rows(sf_dir, "supplier"),
     ).to_pandas()  # bounded by supplier qualifying set
     return (
         names[["s_name", "n_name"]]
@@ -2794,6 +2805,7 @@ def q21_waiting_suppliers(sf_dir, broadcast_limit=5_000_000, k=100):
     li = ops.semi_join(
         li, fkeys, on="l_orderkey", right_on="o_orderkey",
         broadcast_limit=broadcast_limit,
+        right_rows_bound=ops.table_rows(sf_dir, "orders"),
     )
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
@@ -2848,6 +2860,7 @@ def q21_waiting_suppliers(sf_dir, broadcast_limit=5_000_000, k=100):
         on="l_suppkey",
         right_on="s_suppkey",
         broadcast_limit=broadcast_limit,
+        right_rows_bound=ops.table_rows(sf_dir, "supplier"),
     ).to_pandas()  # bounded by supplier cardinality
     named = named.astype({"numwait": "int64"})
     return (
@@ -3004,7 +3017,8 @@ def event_funnel(sf_dir, broadcast_limit=5_000_000, window_h=6):
         cand = ev.map_batches(typed(kind), batch_format="pandas")
         if prev is not None:
             cand = ops.dim_join(
-                cand, prev, on="user_id", broadcast_limit=broadcast_limit
+                cand, prev, on="user_id", broadcast_limit=broadcast_limit,
+                right_rows_bound=stage_counts[-1],
             ).map_batches(
                 lambda b, _w=win_ns: b.loc[
                     (b["t"].to_numpy() > b["t_prev"].to_numpy())
