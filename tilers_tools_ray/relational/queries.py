@@ -134,6 +134,7 @@ def q3_top_revenue_orders(sf_dir, broadcast_limit=5_000_000):
         orders_b = ops.semi_join(
             orders, bld, on="o_custkey", right_on="c_custkey",
             broadcast_limit=broadcast_limit,
+            right_rows_bound=ops.table_rows(sf_dir, "customer"),
         )
         li_b = ops.semi_join(
             li,
@@ -141,6 +142,7 @@ def q3_top_revenue_orders(sf_dir, broadcast_limit=5_000_000):
             on="l_orderkey",
             right_on="o_orderkey",
             broadcast_limit=broadcast_limit,
+            right_rows_bound=ops.table_rows(sf_dir, "orders"),
         )
 
     def partial_rev(b: pd.DataFrame) -> pd.DataFrame:
@@ -249,7 +251,8 @@ def q5_nation_revenue(sf_dir, broadcast_limit=5_000_000):
             batch_format="pandas",
         )
         orders_n = ops.dim_join(
-            orders, cust_n, on="o_custkey", broadcast_limit=broadcast_limit
+            orders, cust_n, on="o_custkey", broadcast_limit=broadcast_limit,
+            right_rows_bound=ops.table_rows(sf_dir, "customer"),
         )
     li = ops.read(
         sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"]
@@ -842,6 +845,7 @@ def segment_year_revenue_pivot(sf_dir, broadcast_limit=5_000_000):
     joined = ops.dim_join(
         orders, cust, on="o_custkey", right_on="c_custkey",
         broadcast_limit=broadcast_limit,
+        right_rows_bound=ops.table_rows(sf_dir, "customer"),
     )
 
     def enrich(b: pd.DataFrame) -> pd.DataFrame:
@@ -944,6 +948,7 @@ def top_orders_per_segment(sf_dir, broadcast_limit=5_000_000):
     joined = ops.dim_join(
         orders, cust, on="o_custkey", right_on="c_custkey",
         broadcast_limit=broadcast_limit,
+        right_rows_bound=ops.table_rows(sf_dir, "customer"),
     )
     top = ops.grouped_topk(
         joined, "c_mktsegment", "o_totalprice", 3, tie_col="o_orderkey"
@@ -1098,6 +1103,7 @@ def brand_volume(sf_dir, broadcast_limit=5_000_000):
     joined = ops.dim_join(
         li, part, on="l_partkey", right_on="p_partkey",
         broadcast_limit=broadcast_limit,
+        right_rows_bound=ops.table_rows(sf_dir, "part"),
     )
     df = ops.preagg_sum_count_df(
         joined, ["p_brand"], ["l_quantity"], count_alias="n_items"
@@ -1167,7 +1173,8 @@ def q17_small_quantity_revenue(sf_dir, broadcast_limit=5_000_000):
         .map_groups(fold, batch_format="pandas")
     )
     joined = ops.dim_join(
-        li, limits, on="l_partkey", broadcast_limit=broadcast_limit
+        li, limits, on="l_partkey", broadcast_limit=broadcast_limit,
+        right_rows_bound=ops.table_rows(sf_dir, "part"),
     )
 
     def cents(b: pd.DataFrame) -> pd.DataFrame:
@@ -1209,6 +1216,7 @@ def nation_year_rollup(sf_dir, broadcast_limit=5_000_000):
     j = ops.dim_join(
         ords, cust, on="o_custkey", right_on="c_custkey",
         broadcast_limit=broadcast_limit,
+        right_rows_bound=ops.table_rows(sf_dir, "customer"),
     )
     nmap = dict(zip(nat["n_nationkey"].astype("int64"), nat["n_name"]))
 
@@ -2124,6 +2132,7 @@ def q8_market_share(sf_dir, broadcast_limit=5_000_000):
     orders = ops.semi_join(
         orders, cust_keys, on="o_custkey", right_on="c_custkey",
         broadcast_limit=broadcast_limit,
+        right_rows_bound=ops.table_rows(sf_dir, "customer"),
     )
 
     std_parts = ops.read(
