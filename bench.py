@@ -98,6 +98,7 @@ BENCH_QUERIES = [
     "image_quality_scores",
     "user_retention_cohorts",
     "event_funnel",
+    "events_props_stats",
 ]
 
 CORPUS_ROWS = {"sf0.1": 25000, "sf0.01": 2000, "sf0.001": 400}

@@ -126,6 +126,7 @@ def test_entry_smoke(ray_session):
         "pack_documents",
         "user_retention_cohorts",
         "event_funnel",
+        "events_props_stats",
     ],
 )
 def test_oracle_match(registry, name):

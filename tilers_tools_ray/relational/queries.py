@@ -2921,6 +2921,57 @@ def _user_bucketed(ev):
     return ev.map_batches(key, batch_format="pandas").groupby("__ub")
 
 
+def events_props_stats(sf_dir):
+    """Semi-structured extraction (the JSON-props pattern every event
+    pipeline hits): pull the numeric ``k`` field out of the JSON
+    ``props`` column with ONE vectorized regex extract per batch —
+    never per-row json.loads — then a partial-combined grouped sum on
+    the bounded event_type key. Missing/malformed keys count as NULL
+    and are excluded from the sum exactly like the SQL oracle's CAST."""
+    ev = ops.read(sf_dir, "events", columns=["event_type", "props"])
+
+    def extract(b: pd.DataFrame) -> pd.DataFrame:
+        k = (
+            b["props"]
+            .fillna("")
+            .str.extract(r'"k"\s*:\s*(-?\d+)', expand=False)
+            .astype("float64")  # NaN for misses
+        )
+        return pd.DataFrame(
+            {
+                "event_type": b["event_type"],
+                "k": np.nan_to_num(k.to_numpy(), nan=0.0).astype("int64"),
+                "k_present": (~k.isna()).astype("int64"),
+            }
+        )
+
+    df = ops.preagg_sum_count_df(
+        ev.map_batches(extract, batch_format="pandas"),
+        ["event_type"],
+        ["k", "k_present"],
+        count_alias="n_events",
+    )
+    out = pd.DataFrame(
+        {
+            "event_type": df["event_type"],
+            "sum_k": df["k"].astype("int64"),
+            "n_with_k": df["k_present"].astype("int64"),
+            "n_events": df["n_events"].astype("int64"),
+        }
+    )
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+PROPS_SQL = """
+SELECT event_type,
+       CAST(sum(COALESCE(CAST(json_extract_string(props, '$.k') AS BIGINT), 0))
+            AS BIGINT) AS sum_k,
+       CAST(count(json_extract_string(props, '$.k')) AS BIGINT) AS n_with_k,
+       count(*) AS n_events
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
 def user_retention_cohorts(sf_dir, broadcast_limit=5_000_000):
     """Retention-cohort matrix (the product-analytics staple): users
     cohorted by FIRST-event day, counted distinct per (cohort_day,
@@ -4330,6 +4381,7 @@ QUERIES = {
     "events_sessionize": events_sessionize,
     "user_retention_cohorts": user_retention_cohorts,
     "event_funnel": event_funnel,
+    "events_props_stats": events_props_stats,
     "events_sliding_window": events_sliding_window,
     "events_asof_last_click": events_asof_last_click,
     "customer_order_windows": customer_order_windows,
@@ -4410,6 +4462,7 @@ ORACLES = {
     "events_sessionize": SESSIONIZE_SQL,
     "user_retention_cohorts": RETENTION_SQL,
     "event_funnel": FUNNEL_SQL,
+    "events_props_stats": PROPS_SQL,
     "events_sliding_window": SLIDING_SQL,
     "events_asof_last_click": ASOF_SQL,
     "customer_order_windows": WINDOWS_SQL,
