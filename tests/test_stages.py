@@ -516,3 +516,39 @@ def test_diff_tilesets(ray_session):
         rd.from_pandas(a).repartition(3), rd.from_pandas(a).repartition(6)
     ).to_pandas()
     assert len(same) == 0
+
+
+def test_map_tiles_algebra(ray_session, tmp_path):
+    """map_tiles applies the registered pixel transform per tile:
+    invert∘invert restores the original checksums exactly; grayscale
+    leaves r=g=b with alpha untouched."""
+    import numpy as np
+    import pandas as pd
+
+    from tilers_tools_ray import corpus
+    from tilers_tools_ray.pipelines import pyramid, tileset
+    from tilers_tools_ray.stages import tiling as tl
+
+    paths = corpus.generate(str(tmp_path / "c"), n_rows=12, seed=13)
+    out = str(tmp_path / "p")
+    pyramid.write_pyramid(paths["images"], out, z_min=7, salt=False)
+    tiles = pyramid.read_tiles(out)
+    orig = tiles.select_columns(["tile_key", "checksum"]).to_pandas()
+
+    inv = tileset.map_tiles(tiles, "invert")
+    inv2 = tileset.map_tiles(inv, "invert")
+    back = inv2.select_columns(["tile_key", "checksum"]).to_pandas()
+    pd.testing.assert_frame_equal(
+        orig.sort_values("tile_key").reset_index(drop=True),
+        back.sort_values("tile_key").reset_index(drop=True),
+    )
+    # inversion changes at least some checksums
+    ichk = inv.select_columns(["tile_key", "checksum"]).to_pandas()
+    merged = orig.merge(ichk, on="tile_key", suffixes=("_a", "_b"))
+    assert (merged["checksum_a"] != merged["checksum_b"]).any()
+
+    g = tileset.map_tiles(tiles, "grayscale").limit(3).to_pandas()
+    for buf in g["pixels"]:
+        px = tl.unpack_pixels(buf)
+        assert np.array_equal(px[:, :, 0], px[:, :, 1])
+        assert np.array_equal(px[:, :, 1], px[:, :, 2])

@@ -93,6 +93,8 @@ def cmd_convert(args):
         tiles = pyramid.read_tiles(args.src)
     if args.zoom:
         tiles = tileset.filter_zoom(tiles, args.zoom)
+    if args.pixel_fn:
+        tiles = tileset.map_tiles(tiles, args.pixel_fn)
     if args.out.endswith(".db"):
         n = tiledb.export_sqlite(tiles, args.out, fmt=args.to_fmt)
         print(json.dumps({"tiles": n, "sink": "sqlite"}))
@@ -253,6 +255,12 @@ def build_parser():
     c.add_argument("--from-layout", default=None, choices=[None, "xyz", "tms", "zyx", "sasplanet"])
     c.add_argument("--to-layout", default=None, choices=[None, "xyz", "tms", "zyx", "sasplanet"])
     c.add_argument("--to-fmt", default="png", choices=["png", "raw", "dct", "png8", "ozf"])
+    c.add_argument(
+        "--pixel-fn",
+        default=None,
+        choices=["invert", "grayscale"],
+        help="map-algebra transform applied to every tile's pixels",
+    )
     c.add_argument("--zoom", default=None)
     c.add_argument(
         "--noclobber",

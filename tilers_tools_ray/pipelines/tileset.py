@@ -421,6 +421,61 @@ def transcode_tiles(tree_ds, to_fmt):
     return tree_ds.map_batches(transcode, batch_format="pyarrow", batch_size=64)
 
 
+PIXEL_FNS = {
+    # map-algebra registry: RGBA (h, w, 4) uint8 → same shape. Alpha
+    # passes through (the composite/cutline mask must survive).
+    "invert": lambda px: np.concatenate(
+        [255 - px[:, :, :3], px[:, :, 3:]], axis=2
+    ),
+    "grayscale": lambda px: np.concatenate(
+        [
+            np.repeat(
+                np.clip(
+                    np.round(
+                        0.299 * px[:, :, 0]
+                        + 0.587 * px[:, :, 1]
+                        + 0.114 * px[:, :, 2]
+                    ),
+                    0,
+                    255,
+                ).astype(np.uint8)[:, :, None],
+                3,
+                axis=2,
+            ),
+            px[:, :, 3:],
+        ],
+        axis=2,
+    ),
+}
+
+
+def map_tiles(tiles_ds, pixel_fn):
+    """Map algebra over a tile set: apply a registered per-pixel
+    transform (``PIXEL_FNS``) to every tile — decode the packed RGBA,
+    one vectorized numpy kernel, repack, recompute the checksum.
+    Stateless tasks, no shuffle; the classic band-math step
+    (NDVI-style) expressed over the engine's RGBA tiles."""
+    from .. import raster as _raster
+
+    fn = PIXEL_FNS[pixel_fn] if isinstance(pixel_fn, str) else pixel_fn
+
+    def apply(batch: pa.Table) -> pa.Table:
+        pix_in = batch.column("pixels").to_pylist()
+        out_pix, out_ck = [], []
+        for buf in pix_in:
+            px = fn(tiling.unpack_pixels(buf))
+            out_pix.append(tiling.pack_pixels(px))
+            out_ck.append(_raster.tile_checksum(px))
+        i_p = batch.schema.get_field_index("pixels")
+        batch = batch.set_column(i_p, "pixels", pa.array(out_pix, pa.binary()))
+        i_c = batch.schema.get_field_index("checksum")
+        return batch.set_column(
+            i_c, "checksum", pa.array(out_ck, pa.int64())
+        )
+
+    return tiles_ds.map_batches(apply, batch_format="pyarrow", batch_size=64)
+
+
 def tileset_stats(tiles_ds):
     """A3: per-zoom tile count + x/y extent aggregate (one small
     shuffle over tiny grouped rows)."""
