@@ -99,6 +99,7 @@ BENCH_QUERIES = [
     "user_retention_cohorts",
     "event_funnel",
     "events_props_stats",
+    "embedding_outliers",
 ]
 
 CORPUS_ROWS = {"sf0.1": 25000, "sf0.01": 2000, "sf0.001": 400}

@@ -165,6 +165,7 @@ def test_oracle_match(registry, name):
         "dedup_clean_images",
         "parse_georef_sidecars",
         "kmeans_embeddings",
+        "embedding_outliers",
         "zonal_image_stats",
         "image_quality_scores",
     ],

@@ -3748,6 +3748,52 @@ def kmeans_embeddings(sf_dir):
     return stats
 
 
+def embedding_outliers(sf_dir, k=50):
+    """Embedding-space outlier mining (the curation step that surfaces
+    mislabeled / junk vectors): fit the distributed k-means quantizer,
+    then ONE streaming scoring pass — per batch, each vector's cosine
+    distance to its NEAREST centroid (broadcast matrix, vectorized
+    argmax) — and a global top-k of the farthest vectors via the
+    partial-top-k + final-sort ops.topk (the full score table never
+    reaches the driver). Deterministic for the fixed seed; rows-only
+    (iterative fit → not SQL-expressible)."""
+    import ray
+
+    emb = ops.read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    cent, _ = ann.kmeans(emb, k=10, iters=6, seed=11)
+    cref = ray.put(cent)
+
+    def score(b: pd.DataFrame, _cref=cref) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame(
+                {
+                    "vec_id": pd.Series(dtype="int64"),
+                    "outlier_score": pd.Series(dtype="float64"),
+                }
+            )
+        c = ray.get(_cref)
+        x = np.stack(b["embedding"].to_numpy())
+        x = x / np.maximum(
+            np.linalg.norm(x, axis=1, keepdims=True), 1e-12
+        )
+        best = (x @ c.T).max(axis=1)
+        return pd.DataFrame(
+            {
+                "vec_id": b["vec_id"].astype("int64"),
+                "outlier_score": np.round(1.0 - best, 6),
+            }
+        )
+
+    top = ops.topk(
+        emb.map_batches(score, batch_format="pandas"),
+        "outlier_score",
+        k,
+        descending=True,
+        tie_col="vec_id",
+    ).to_pandas()
+    return top.reset_index(drop=True)
+
+
 def dedup_exact_docs(sf_dir):
     docs = ops.read(sf_dir, "documents", columns=["doc_id", "text"])
     return dedup.exact_dedup(docs)
@@ -4417,6 +4463,7 @@ QUERIES = {
     "benchmark_contamination": benchmark_contamination,
     "pack_documents": pack_documents,
     "kmeans_embeddings": kmeans_embeddings,
+    "embedding_outliers": embedding_outliers,
     "dedup_exact_docs": dedup_exact_docs,
     "doc_quality": doc_quality,
     "lang_id": lang_id,
