@@ -301,6 +301,30 @@ def test_minhash_batch_matches_scalar_signature():
     assert got == expect
 
 
+def test_hash128_key_properties():
+    """The vectorized 128-bit exact-dedup key (two seeded hash_array
+    passes used jointly): deterministic across calls, equal texts →
+    equal key pairs, distinct texts → distinct key pairs, and the two
+    columns are genuinely different hash functions (else the joint key
+    would collapse to 64 bits)."""
+    texts = np.array(
+        ["", "a", "b", "a", "the same text", "the same text", "Ünïcode ✓"],
+        dtype=object,
+    )
+    h1, h2 = T.hash128(texts)
+    g1, g2 = T.hash128(texts)
+    assert h1.dtype == np.int64 and h2.dtype == np.int64
+    assert np.array_equal(h1, g1) and np.array_equal(h2, g2)
+    # equal texts agree on BOTH columns
+    assert h1[1] == h1[3] and h2[1] == h2[3]
+    assert h1[4] == h1[5] and h2[4] == h2[5]
+    # distinct texts give distinct joint keys
+    pairs = set(zip(h1.tolist(), h2.tolist()))
+    assert len(pairs) == len(set(texts.tolist()))
+    # the two seeded passes are different functions
+    assert not np.array_equal(h1, h2)
+
+
 def test_langid_batch_matches_predict_one():
     texts = [
         "the cat sat on the mat and it is a fine day",

@@ -162,6 +162,39 @@ def test_merge_priority(ray_session):
     assert list(merged["src_ids"][0]) == ["red", "blue"]
 
 
+def test_layout_paths_match_scalar_codec(ray_session):
+    """Vectorized with_layout_paths (pyarrow binary_join chains) ≡ the
+    scalar registry contract tg.coord_to_path, string-for-string —
+    including sasplanet's z+1 / 1024-bucket arithmetic past the first
+    bucket and tms's (2^z - 1 - y) flip at mixed zooms."""
+    import itertools
+
+    import pandas as pd
+    import ray.data as rd
+
+    coords = [
+        (z, x, y)
+        for z, x, y in itertools.product(
+            [0, 1, 5, 11, 12], [0, 1, 1023, 1024, 2500], [0, 1, 1023, 1024, 2047]
+        )
+        if x < 2**z and y < 2**z
+    ]
+    df = pd.DataFrame(coords, columns=["z", "x", "y"])
+    ds = rd.from_pandas(df)
+    for layout in tg.TILE_LAYOUTS:
+        for ext in ("png", "jpg"):
+            got = (
+                tileset.with_layout_paths(ds, layout=layout, ext=ext)
+                .to_pandas()
+                .sort_values(["z", "x", "y"])
+            )
+            expect = [
+                tg.coord_to_path(z, x, y, layout=layout, ext=ext)
+                for z, x, y in got[["z", "x", "y"]].itertuples(index=False)
+            ]
+            assert got["path"].tolist() == expect, layout
+
+
 def test_convert_export_import_roundtrip(
     ray_session, tiny_corpus, base_tiles_df, tmp_path
 ):

@@ -477,9 +477,14 @@ def fill_polygon_fast(ring, h, w):
     c = (y0[:, None] > ys[None, :]) != (y1[:, None] > ys[None, :])
     n_cross = c.sum(axis=0)
     with np.errstate(divide="ignore", invalid="ignore"):
+        # SAME association order as fill_polygon — multiply THEN
+        # divide — so the xint values are bit-identical by
+        # construction, not just property-tested: a divide-first
+        # form can differ by a ULP and flip the ceil/floor snap when
+        # a crossing lands exactly on column+0.5 (ADVICE r4)
         xint_all = x0[:, None] + (ys[None, :] - y0[:, None]) * (
-            (x1 - x0)[:, None] / (y1 - y0)[:, None]
-        )
+            x1 - x0
+        )[:, None] / (y1 - y0)[:, None]
     cols = np.arange(w, dtype=np.float64)
 
     two = n_cross == 2

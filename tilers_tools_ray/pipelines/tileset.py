@@ -124,16 +124,28 @@ def diff_tilesets(a_ds, b_ds):
         return _coarse_bucket(b, "tile_key", n_cb)
 
     def compare(g: pd.DataFrame) -> pd.DataFrame:
+        # nullable Int64 through the pivot (verified preserved by
+        # aggfunc="first"): a plain pivot upcasts to float64, which is
+        # exact only below 2^53 — fine for crc32 checksums, silently
+        # lossy if the checksum ever widens to full int64, where
+        # distinct values could compare equal and a "changed" tile be
+        # reported "same" (ADVICE r4)
+        g = g.assign(checksum=g["checksum"].astype("Int64"))
         p = g.pivot_table(
             index=["tile_key", "z", "x", "y"],
             columns="__side",
             values="checksum",
             aggfunc="first",
         ).reset_index()
-        a = p[0] if 0 in p.columns else pd.Series(pd.NA, index=p.index)
-        b = p[1] if 1 in p.columns else pd.Series(pd.NA, index=p.index)
+        na = pd.array([pd.NA] * len(p), dtype="Int64")
+        a = p[0] if 0 in p.columns else pd.Series(na, index=p.index)
+        b = p[1] if 1 in p.columns else pd.Series(na, index=p.index)
         status = np.select(
-            [a.isna(), b.isna(), a != b],
+            [
+                a.isna().to_numpy(),
+                b.isna().to_numpy(),
+                (a != b).fillna(False).to_numpy(dtype=bool),
+            ],
             ["added", "removed", "changed"],
             default="same",
         )
@@ -157,18 +169,45 @@ def diff_tilesets(a_ds, b_ds):
 
 
 def with_layout_paths(tiles_ds, layout="xyz", ext="png"):
-    """Add a ``path`` column per cache layout — vectorized-ish string
-    codec, no shuffle (tiles_convert.py::coord2path [R])."""
+    """Add a ``path`` column per cache layout — fully vectorized
+    string codec (pyarrow ``binary_join_element_wise`` chains, no
+    per-row Python; tiles_convert.py::coord2path [R]).
+    :func:`tilegrid.coord_to_path` stays the scalar registry contract
+    and the equivalence-test twin."""
+    import pyarrow.compute as pc
+
+    if layout not in tg.TILE_LAYOUTS:
+        raise ValueError(f"unknown layout {layout!r}")
 
     def add_path(batch: pa.Table) -> pa.Table:
-        zs = batch.column("z").to_pylist()
-        xs = batch.column("x").to_pylist()
-        ys = batch.column("y").to_pylist()
-        paths = [
-            tg.coord_to_path(z, x, y, layout=layout, ext=ext)
-            for z, x, y in zip(zs, xs, ys)
-        ]
-        return batch.append_column("path", pa.array(paths, pa.string()))
+        z64 = pc.cast(batch.column("z"), pa.int64())
+        x64 = pc.cast(batch.column("x"), pa.int64())
+        y64 = pc.cast(batch.column("y"), pa.int64())
+        zs, xs, ys = (pc.cast(c, pa.string()) for c in (z64, x64, y64))
+        join = pc.binary_join_element_wise  # last arg = separator
+        if layout == "xyz":
+            path = join(zs, xs, join(ys, ext, "."), "/")
+        elif layout == "tms":
+            yf = pc.subtract(
+                pc.subtract(pc.shift_left(pa.scalar(1, pa.int64()), z64), 1),
+                y64,
+            )
+            path = join(zs, xs, join(pc.cast(yf, pa.string()), ext, "."), "/")
+        elif layout == "zyx":
+            path = join(zs, ys, join(xs, ext, "."), "/")
+        else:  # sasplanet: z{z+1}/{x//1024}/x{x}/{y//1024}/y{y}.{ext}
+            z1 = pc.cast(pc.add(z64, 1), pa.string())
+            xb = pc.cast(pc.divide(x64, 1024), pa.string())  # int div
+            yb = pc.cast(pc.divide(y64, 1024), pa.string())
+            path = join(
+                join("z", z1, ""),
+                xb,
+                join("x", xs, ""),
+                yb,
+                join("y", join(ys, ext, "."), ""),
+                "/",
+            )
+        return batch.append_column("path", pc.cast(path, pa.string()))
 
     return tiles_ds.map_batches(add_path, batch_format="pyarrow")
 
