@@ -106,28 +106,35 @@ def images_dataset(images_path, columns=None, num_blocks=None):
 
 def _effective_res(batch: pa.Table, profile="mercator") -> pa.Table:
     """Per-image source resolution in dest-PROFILE units (meters for
-    mercator, degrees for geodetic)."""
-    gts = batch.column("gt").to_pylist()
-    srs = batch.column("srs").to_pylist()
-    res = np.empty(len(gts))
+    mercator, degrees for geodetic). Vectorized: geotransforms arrive
+    as one (n, 6) float view of the list column, srs strings are
+    factorized, and each DISTINCT srs (a handful per corpus — one
+    projection parse each, not one per image) takes a single
+    array-kernel pass; tmerc/conic ``inverse`` is numpy-vectorized."""
+    n = batch.num_rows
+    gt = np.asarray(
+        batch.column("gt").combine_chunks().flatten(), dtype=np.float64
+    ).reshape(n, 6)
+    srs = np.asarray(batch.column("srs").to_pylist(), dtype=object)
+    res = np.abs(gt[:, 1])
     deg_per_m = 180.0 / tg.ORIGIN
-    for i, g in enumerate(gts):
-        r = abs(g[1])
-        tm = raster._tmerc_of(srs[i])
+    uniq, inv = np.unique(srs, return_inverse=True)
+    for j, s in enumerate(uniq):
+        sel = inv == j
+        tm = raster._tmerc_of(s)
         if tm is not None:
             # UTM meters ≈ ground meters; mercator meters inflate by
             # 1/cos(lat) — evaluate at the image origin's latitude
-            _, lat0 = tm.inverse(g[0], g[3])
+            _, lat0 = tm.inverse(gt[sel, 0], gt[sel, 3])
             if profile == "geodetic":
-                r *= deg_per_m
+                res[sel] *= deg_per_m
             else:
-                r /= max(np.cos(np.radians(float(lat0))), 1e-6)
+                res[sel] /= np.maximum(np.cos(np.radians(lat0)), 1e-6)
         elif profile == "geodetic":
-            if srs[i] != "EPSG:4326":
-                r *= deg_per_m
-        elif srs[i] == "EPSG:4326":
-            r /= deg_per_m
-        res[i] = r
+            if s != "EPSG:4326":
+                res[sel] *= deg_per_m
+        elif s == "EPSG:4326":
+            res[sel] /= deg_per_m
     return pa.table({"res": pa.array(res, pa.float64())})
 
 
