@@ -127,6 +127,11 @@ def test_entry_smoke(ray_session):
         "user_retention_cohorts",
         "event_funnel",
         "events_props_stats",
+        "source_normalization_stats",
+        "pii_scrub_stats",
+        "train_val_test_split",
+        "ngram_decontamination",
+        "nation_segment_cube",
     ],
 )
 def test_oracle_match(registry, name):
@@ -782,3 +787,74 @@ def test_with_running_sum_is_global_prefix_sum(ray_session):
     exp = df.sort_values("k").reset_index(drop=True)
     exp["rs"] = exp["v"].cumsum().shift(fill_value=0)
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def _mini_docs(tmp_path, texts):
+    """Write a minimal documents.parquet (schema-compatible with the
+    testdata table) for planted-corpus query tests; returns sf_dir."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / f"sf_mini_{os.getpid()}"
+    d.mkdir(exist_ok=True)
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * len(texts), pa.string()),
+            "source": pa.array(["s0"] * len(texts), pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(t, str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_ngram_decontamination_token_alignment(ray_session, tmp_path):
+    """Planted semantics: a doc repeating a probe 4-token window is
+    flagged even under different case/whitespace/punctuation (token-
+    normalized match), while a doc containing the same CHARACTERS
+    without the token boundaries (fused words) is not — the contract
+    that separates this from benchmark_contamination's substring scan."""
+    from tilers_tools_ray.relational import queries as Q
+
+    probe = "alpha bravo charlie delta echo foxtrot golf hotel"
+    texts = [
+        probe,  # doc 0: the probe (n_probes=1)
+        "zz yy ALPHA   bravo,charlie\tDELTA xx ww qq rr ss tt",  # 1: hit
+        "zz yy alphabravo charliedelta xx ww qq rr ss tt vv",  # 2: fused, no hit
+        "completely unrelated text with many boring tokens here ok",  # 3
+    ]
+    sf = _mini_docs(tmp_path, texts)
+    out = _to_pandas(
+        Q.ngram_decontamination(sf, n_probes=1, width=4, stride=1, min_len=12)
+    )
+    assert out["doc_id"].tolist() == [1]
+    assert int(out["n_hits"].iloc[0]) >= 1
+
+
+def test_train_val_test_split_deterministic_partition(ray_session):
+    """The split is a pure function of doc_id: two runs agree exactly,
+    the three classes partition the corpus, and the assignment matches
+    the unbounded-int definition recomputed in pure Python."""
+    from tilers_tools_ray.relational import queries as Q
+
+    a = _to_pandas(Q.train_val_test_split(SF))
+    b = _to_pandas(Q.train_val_test_split(SF))
+    pd.testing.assert_frame_equal(a, b)
+    import pyarrow.parquet as pq
+
+    n_total = pq.read_metadata(os.path.join(SF, "documents.parquet")).num_rows
+    assert int(a["n_docs"].sum()) == n_total
+    # pure-Python recount of class sizes over the same ids
+    ids = pq.read_table(
+        os.path.join(SF, "documents.parquet"), columns=["doc_id"]
+    )["doc_id"].to_pylist()
+    counts = {"train": 0, "val": 0, "test": 0}
+    for i in ids:
+        h = ((i % Q._SPLIT_MOD) * Q._SPLIT_K) % Q._SPLIT_MOD
+        counts[
+            "test" if h < Q._SPLIT_TEST else "val" if h < Q._SPLIT_VAL else "train"
+        ] += 1
+    got = dict(zip(a["split"], a["n_docs"].astype(int)))
+    assert {k: v for k, v in counts.items() if v} == got

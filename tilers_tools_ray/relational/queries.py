@@ -17,6 +17,7 @@ never land on exact .005 boundaries at the tested scales.
 from __future__ import annotations
 
 import os
+import re
 
 import numpy as np
 import pandas as pd
@@ -4443,6 +4444,322 @@ def parse_georef_sidecars(sf_dir):
     )
 
 
+def source_normalization_stats(sf_dir):
+    """Text-normalization audit per corpus source (the cleanup step
+    every training pipeline runs before tokenizing): lowercase,
+    collapse whitespace runs, trim — then report per source how much
+    the corpus shrank. One vectorized pandas-str pass per batch, then
+    a bounded per-source partial-sum merge (sources are a handful;
+    preagg_sum_count_df). The whitespace class is the EXPLICIT ASCII
+    ``[ \\t\\n\\r\\f\\v]`` on both engine and oracle sides — Python's
+    ``\\s`` is unicode-wide while DuckDB/RE2's is ASCII-only, so a
+    bare ``\\s`` would silently diverge on unicode whitespace."""
+    docs = ops.read(sf_dir, "documents", columns=["source", "text"])
+    ws = r"[ \t\n\r\f\v]+"
+
+    def norm(b: pd.DataFrame) -> pd.DataFrame:
+        t = b["text"].fillna("")
+        n = t.str.lower().str.replace(ws, " ", regex=True).str.strip()
+        return pd.DataFrame(
+            {
+                "source": b["source"],
+                "raw_len": t.str.len().astype("int64"),
+                "norm_len": n.str.len().astype("int64"),
+            }
+        )
+
+    out = ops.preagg_sum_count_df(
+        docs.map_batches(norm, batch_format="pandas"),
+        ["source"],
+        ["raw_len", "norm_len"],
+        count_alias="n_docs",
+    )
+    out["n_docs"] = out["n_docs"].astype("int64")
+    return out[["source", "n_docs", "raw_len", "norm_len"]].sort_values(
+        "source"
+    ).reset_index(drop=True)
+
+
+NORMALIZATION_SQL = r"""
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS raw_len,
+       CAST(sum(length(trim(regexp_replace(lower(text),
+            '[ \t\n\r\f\v]+', ' ', 'g')))) AS BIGINT) AS norm_len
+FROM documents
+GROUP BY source ORDER BY source
+"""
+
+
+def pii_scrub_stats(sf_dir):
+    """PII-scrub audit per source (what a redaction pass would touch):
+    count email addresses and long digit runs per document with ONE
+    compiled-regex ``str.count`` per pattern per batch, then the
+    bounded per-source partial-sum merge. Patterns are RE2-compatible
+    (no lookarounds/backrefs) so engine and oracle compile the SAME
+    regex; counts are non-overlapping matches in both (pandas
+    str.count ≡ regexp_extract_all length). Output: per source, the
+    match totals and how many docs are flagged at all — the scrub
+    itself would be the same pass with str.replace."""
+    docs = ops.read(sf_dir, "documents", columns=["source", "text"])
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    digits = r"[0-9]{6,}"
+
+    def scan(b: pd.DataFrame) -> pd.DataFrame:
+        t = b["text"].fillna("")
+        ne = t.str.count(email).astype("int64")
+        nd = t.str.count(digits).astype("int64")
+        return pd.DataFrame(
+            {
+                "source": b["source"],
+                "n_emails": ne,
+                "n_digit_runs": nd,
+                "n_flagged": ((ne + nd) > 0).astype("int64"),
+            }
+        )
+
+    out = ops.preagg_sum_count_df(
+        docs.map_batches(scan, batch_format="pandas"),
+        ["source"],
+        ["n_emails", "n_digit_runs", "n_flagged"],
+        count_alias="n_docs",
+    )
+    out["n_docs"] = out["n_docs"].astype("int64")
+    return out[
+        ["source", "n_docs", "n_flagged", "n_emails", "n_digit_runs"]
+    ].sort_values("source").reset_index(drop=True)
+
+
+PII_SQL = r"""
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN len(regexp_extract_all(text,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+            + len(regexp_extract_all(text, '[0-9]{6,}')) > 0
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+       CAST(sum(len(regexp_extract_all(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')))
+            AS BIGINT) AS n_emails,
+       CAST(sum(len(regexp_extract_all(text, '[0-9]{6,}')))
+            AS BIGINT) AS n_digit_runs
+FROM documents
+GROUP BY source ORDER BY source
+"""
+
+
+# Knuth multiplicative split: boundaries at 5% / 10% of the 2^32 ring.
+_SPLIT_K = 2654435761
+_SPLIT_MOD = 1 << 32
+_SPLIT_TEST = 214_748_364  # floor(0.05 * 2^32)
+_SPLIT_VAL = 429_496_729  # floor(0.10 * 2^32)
+
+
+def train_val_test_split(sf_dir):
+    """Deterministic hash-based train/val/test assignment (the split
+    step of every training-data pipeline — stable under reshuffles and
+    re-runs because membership is a pure function of doc_id): bucket
+    = (doc_id mod 2^32) · 2654435761 mod 2^32, test below 5% of the
+    ring, val below 10%, train otherwise. The multiply runs in uint64
+    (wraps mod 2^64, which preserves the mod-2^32 result — no overflow
+    at ANY doc_id, unlike a raw doc_id·K in int64 which wraps past
+    ~3.5e9 docs); the oracle does the same arithmetic in HUGEINT.
+    Output is the 3-row split audit (n_docs + token totals per split)
+    via per-batch partials — the assignment column itself stays
+    distributed and is what a writer would partition_by."""
+    docs = ops.read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def assign(b: pd.DataFrame) -> pd.DataFrame:
+        h = (
+            (b["doc_id"].to_numpy(dtype=np.uint64) % _SPLIT_MOD)
+            * np.uint64(_SPLIT_K)
+        ) % np.uint64(_SPLIT_MOD)
+        split = np.where(
+            h < _SPLIT_TEST, "test", np.where(h < _SPLIT_VAL, "val", "train")
+        )
+        return pd.DataFrame(
+            {
+                "split": pd.Series(split, dtype=object),
+                "n_tokens": b["text"]
+                .fillna("")
+                .str.count(r"\S+")
+                .astype("int64"),
+            }
+        )
+
+    out = ops.preagg_sum_count_df(
+        docs.map_batches(assign, batch_format="pandas"),
+        ["split"],
+        ["n_tokens"],
+        count_alias="n_docs",
+    )
+    out["n_docs"] = out["n_docs"].astype("int64")
+    return out[["split", "n_docs", "n_tokens"]].sort_values("split").reset_index(
+        drop=True
+    )
+
+
+SPLIT_SQL = r"""
+WITH a AS (
+  SELECT CASE
+           WHEN ((doc_id % 4294967296) * CAST(2654435761 AS HUGEINT))
+                % 4294967296 < 214748364 THEN 'test'
+           WHEN ((doc_id % 4294967296) * CAST(2654435761 AS HUGEINT))
+                % 4294967296 < 429496729 THEN 'val'
+           ELSE 'train'
+         END AS split,
+         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+FROM a GROUP BY split ORDER BY split
+"""
+
+
+def ngram_decontamination(sf_dir, n_probes=5, width=4, stride=2, min_len=12):
+    """Token-level (n-gram) decontamination — stricter than
+    benchmark_contamination's raw-substring scan because matches must
+    align on token boundaries of the NORMALIZED stream (lowercased
+    ``[a-z0-9]+`` tokens), the standard n-gram-overlap check for
+    train/eval leakage. Probe shingles: every ``stride``-th
+    ``width``-token window of the first ``n_probes`` docs, distinct,
+    ≥ ``min_len`` chars — a BOUNDED broadcast (probes are
+    benchmark-sized, never corpus-sized). Per batch: ONE vectorized
+    token-normalize pass builds each doc's space-joined stream, then
+    one non-regex ``str.contains`` per shingle with sentinel-space
+    padding for whole-token alignment. Output bounded by the hit set:
+    (doc_id, n_hits = distinct shingles hit)."""
+    docs = ops.read(sf_dir, "documents", columns=["doc_id", "text"])
+    probe_rows = docs.map_batches(
+        lambda b, _n=n_probes: b.loc[b["doc_id"] < _n],
+        batch_format="pandas",
+    ).to_pandas()  # bounded: n_probes rows
+
+    shingles = set()
+    for t in probe_rows["text"].fillna(""):
+        toks = re.findall(r"[a-z0-9]+", t.lower())
+        for i in range(0, max(len(toks) - width + 1, 0), stride):
+            s = " ".join(toks[i : i + width])
+            if len(s) >= min_len:
+                shingles.add(s)
+    shingles = sorted(shingles)
+
+    def scan(
+        b: pd.DataFrame, _sh=tuple(shingles), _n=n_probes
+    ) -> pd.DataFrame:
+        norm = (
+            " "
+            + b["text"]
+            .fillna("")
+            .str.lower()
+            .str.findall(r"[a-z0-9]+")
+            .str.join(" ")
+            + " "
+        )
+        hits = np.zeros(len(b), dtype="int64")
+        for s in _sh:
+            hits += norm.str.contains(f" {s} ", regex=False).to_numpy()
+        out = pd.DataFrame({"doc_id": b["doc_id"], "n_hits": hits})
+        return out.loc[(out["doc_id"] >= _n) & (out["n_hits"] > 0)]
+
+    return docs.map_batches(scan, batch_format="pandas").sort("doc_id")
+
+
+NGRAM_DECONTAM_SQL = r"""
+WITH ptoks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM documents WHERE doc_id < 5
+), sh AS (
+  SELECT array_to_string(toks[i:i+3], ' ') AS shingle
+  FROM ptoks,
+       UNNEST(generate_series(1, greatest(len(toks)-3, 0), 2)) AS t(i)
+), shd AS (
+  SELECT DISTINCT shingle FROM sh WHERE length(shingle) >= 12
+)
+SELECT d.doc_id, CAST(count(DISTINCT s.shingle) AS BIGINT) AS n_hits
+FROM (SELECT doc_id,
+        ' ' || array_to_string(
+            regexp_extract_all(lower(text), '[a-z0-9]+'), ' ') || ' '
+          AS norm
+      FROM documents WHERE doc_id >= 5) d
+JOIN shd s ON contains(d.norm, ' ' || s.shingle || ' ')
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def nation_segment_cube(sf_dir, broadcast_limit=5_000_000):
+    """Full CUBE aggregate (all four grouping sets of nation ×
+    segment) in ONE shuffle, completing the grouping-sets family next
+    to nation_year_rollup's ROLLUP: the finest (nation, segment) grid
+    is bounded (25 × 5), so the distributed work is one per-batch
+    partial-sum pass and every coarser set rolls up from the fine grid
+    driver-side. nation is a bounded dim → broadcast map; acctbal in
+    exact cents. Subtotals carry the 'ALL' sentinel."""
+    cust = ops.read(
+        sf_dir, "customer", columns=["c_nationkey", "c_mktsegment", "c_acctbal"]
+    )
+    nat = ops.read_pandas(sf_dir, "nation", columns=["n_nationkey", "n_name"])
+    nmap = dict(zip(nat["n_nationkey"].astype("int64"), nat["n_name"]))
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "n_name": b["c_nationkey"].astype("int64").map(nmap),
+                "c_mktsegment": b["c_mktsegment"],
+                "acctbal_cents": np.round(
+                    b["c_acctbal"].to_numpy() * 100
+                ).astype(np.int64),
+            }
+        )
+
+    fine = ops.preagg_sum_count_df(
+        cust.map_batches(prep, batch_format="pandas"),
+        ["n_name", "c_mktsegment"],
+        ["acctbal_cents"],
+        count_alias="n_customers",
+    )
+    by_nat = (
+        fine.groupby("n_name", as_index=False)[["acctbal_cents", "n_customers"]]
+        .sum()
+        .assign(c_mktsegment="ALL")
+    )
+    by_seg = (
+        fine.groupby("c_mktsegment", as_index=False)[
+            ["acctbal_cents", "n_customers"]
+        ]
+        .sum()
+        .assign(n_name="ALL")
+    )
+    total = pd.DataFrame(
+        {
+            "n_name": ["ALL"],
+            "c_mktsegment": ["ALL"],
+            "acctbal_cents": [fine["acctbal_cents"].sum()],
+            "n_customers": [fine["n_customers"].sum()],
+        }
+    )
+    cols = ["n_name", "c_mktsegment", "n_customers", "acctbal_cents"]
+    out = pd.concat(
+        [fine[cols], by_nat[cols], by_seg[cols], total[cols]],
+        ignore_index=True,
+    )
+    out["n_customers"] = out["n_customers"].astype("int64")
+    out["acctbal_cents"] = out["acctbal_cents"].astype("int64")
+    return out.sort_values(["n_name", "c_mktsegment"]).reset_index(drop=True)
+
+
+CUBE_SQL = """
+SELECT COALESCE(n_name, 'ALL') AS n_name,
+       COALESCE(c_mktsegment, 'ALL') AS c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+         AS acctbal_cents
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY CUBE (n_name, c_mktsegment)
+ORDER BY n_name, c_mktsegment
+"""
+
+
 # Registry ORDER matters operationally: the external correctness
 # harness snapshots the first 50 keys of this dict (observed r3:
 # 50/55, r4: 50/88 — exact dict-prefix truncation).  Rounds 1–4
@@ -4472,6 +4789,12 @@ QUERIES = {
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "ann_cosine_topk": ann_cosine_topk,
     "embedding_dup_pairs": embedding_dup_pairs,
+    # --- new in r5: SQL-oracled ---
+    "source_normalization_stats": source_normalization_stats,
+    "pii_scrub_stats": pii_scrub_stats,
+    "train_val_test_split": train_val_test_split,
+    "ngram_decontamination": ngram_decontamination,
+    "nation_segment_cube": nation_segment_cube,
     # --- never driver-checked before r5: rows-only flagships ---
     "kmeans_embeddings": kmeans_embeddings,
     "embedding_outliers": embedding_outliers,
@@ -4614,4 +4937,9 @@ ORACLES = {
     "lang_id": LANG_ID_SQL,
     "ann_cosine_topk": ANN_SQL,
     "embedding_dup_pairs": EMB_DUP_SQL,
+    "source_normalization_stats": NORMALIZATION_SQL,
+    "pii_scrub_stats": PII_SQL,
+    "train_val_test_split": SPLIT_SQL,
+    "ngram_decontamination": NGRAM_DECONTAM_SQL,
+    "nation_segment_cube": CUBE_SQL,
 }
