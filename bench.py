@@ -100,6 +100,11 @@ BENCH_QUERIES = [
     "event_funnel",
     "events_props_stats",
     "embedding_outliers",
+    "source_normalization_stats",
+    "pii_scrub_stats",
+    "train_val_test_split",
+    "ngram_decontamination",
+    "nation_segment_cube",
 ]
 
 CORPUS_ROWS = {"sf0.1": 25000, "sf0.01": 2000, "sf0.001": 400}
