@@ -153,8 +153,12 @@ def hash128(values) -> tuple[np.ndarray, np.ndarray]:
     pair, out of reach at the 10¹²-doc target exactly like md5.
     :func:`_md5_hex` stays as the scalar golden twin."""
     values = np.asarray(values, dtype=object)
-    h1 = pd.util.hash_array(values, hash_key="ttrexactdup00001")
-    h2 = pd.util.hash_array(values, hash_key="ttrexactdup00002")
+    # categorize=False: the default factorizes first, which is a win
+    # only on low-cardinality inputs — dedup feeds mostly-unique text,
+    # where factorization costs 4x the hash itself (measured 0.27 s vs
+    # 0.065 s per pass at 200k unique docs)
+    h1 = pd.util.hash_array(values, hash_key="ttrexactdup00001", categorize=False)
+    h2 = pd.util.hash_array(values, hash_key="ttrexactdup00002", categorize=False)
     return h1.view("int64"), h2.view("int64")
 
 
