@@ -124,7 +124,13 @@ def cmd_map2gdal(args):
     order = args.gcp_order
     if order in ("1", "2", "3"):
         order = int(order)
-    ds = rd.read_parquet(args.src, columns=["image_id", "georef_text"])
+    from .relational.ops import _aligned_num_blocks
+
+    ds = rd.read_parquet(
+        args.src,
+        columns=["image_id", "georef_text"],
+        override_num_blocks=_aligned_num_blocks(args.src),
+    )
     out = georef.attach_parsed_georef(ds, order=order)
     out.write_parquet(args.out)
     print(json.dumps({"rows": out.count()}))

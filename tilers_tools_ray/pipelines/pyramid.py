@@ -387,11 +387,18 @@ def _part_manifest(z, part, tiles_tbl, t0):
 def _read_level(out_dir, z, columns=None):
     import ray.data as rd
 
+    from ..relational.ops import _aligned_num_blocks
+
     # file_extensions guards against stale part-*.parquet.tmp.<pid> files
     # left by a crashed writer: resume/merge must only see committed parts.
+    # Block count is row-group-aligned: Ray's 200-block floor re-reads
+    # whole row groups when parts are fewer — on PIXEL columns that is
+    # the most expensive possible amplification (see ops._aligned_num_blocks).
+    d = lineage.level_dir(out_dir, z)
     return rd.read_parquet(
-        lineage.level_dir(out_dir, z), columns=columns,
+        d, columns=columns,
         file_extensions=["parquet"],
+        override_num_blocks=_aligned_num_blocks(d),
     )
 
 
@@ -623,4 +630,9 @@ def read_tiles(out_dir, z=None, columns=None):
         for f in sorted(os.listdir(os.path.join(root, d)))
         if f.endswith(".parquet")
     ]
-    return rd.read_parquet(paths, columns=columns)
+    from ..relational.ops import _aligned_num_blocks
+
+    # row-group-aligned (pixel columns — amplification is costliest here)
+    return rd.read_parquet(
+        paths, columns=columns, override_num_blocks=_aligned_num_blocks(paths)
+    )
